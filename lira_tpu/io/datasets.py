@@ -1,0 +1,110 @@
+"""Dataset loading and synthetic dataset generation.
+
+Directory contract (capability parity with reference utils.py:41-88):
+    {data_path}/{name}/{name}_base.fvecs      (or {name}_learn.fvecs)
+    {data_path}/{name}/{name}_query.fvecs
+    {data_path}/{name}/{name}_groundtruth.ivecs   (optional)
+
+`synthetic_dataset` generates a clustered corpus with exact ground truth so
+the full pipeline and tests run without downloading SIFT/GIST/BIGANN.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .xvecs import read_xvecs, write_xvecs
+
+
+@dataclass
+class DatasetBundle:
+    name: str
+    base: np.ndarray  # (n_d, dim) float32
+    query: np.ndarray  # (n_q, dim) float32
+    groundtruth: np.ndarray | None  # (n_q, k_gt) int32 or None
+
+
+def load_data(dataset_name: str, data_path: str = "/data/vector_datasets") -> DatasetBundle:
+    """Load a dataset in the standard xvecs directory layout."""
+    dataset_dir = os.path.join(data_path, dataset_name)
+
+    base_file = os.path.join(dataset_dir, f"{dataset_name}_base.fvecs")
+    if not os.path.exists(base_file):
+        base_file = os.path.join(dataset_dir, f"{dataset_name}_learn.fvecs")
+    x_d = np.ascontiguousarray(read_xvecs(base_file), dtype=np.float32)
+
+    query_file = os.path.join(dataset_dir, f"{dataset_name}_query.fvecs")
+    x_q = np.ascontiguousarray(read_xvecs(query_file), dtype=np.float32)
+
+    gt_file = os.path.join(dataset_dir, f"{dataset_name}_groundtruth.ivecs")
+    gt_ids = None
+    if os.path.exists(gt_file):
+        gt_ids = np.ascontiguousarray(read_xvecs(gt_file), dtype=np.int32)
+
+    return DatasetBundle(name=dataset_name, base=x_d, query=x_q, groundtruth=gt_ids)
+
+
+def _exact_knn_numpy(base: np.ndarray, query: np.ndarray, k: int, metric: str = "L2") -> np.ndarray:
+    """Small exact kNN oracle (numpy, chunked) used for synthetic ground truth."""
+    n_q = query.shape[0]
+    out = np.empty((n_q, k), dtype=np.int32)
+    b_sq = (base.astype(np.float64) ** 2).sum(axis=1)
+    chunk = 1024
+    for s in range(0, n_q, chunk):
+        q = query[s : s + chunk].astype(np.float64)
+        if metric == "inner_product":
+            score = -(q @ base.T.astype(np.float64))
+        else:
+            score = b_sq[None, :] - 2.0 * (q @ base.T.astype(np.float64))
+        idx = np.argpartition(score, k - 1, axis=1)[:, :k]
+        ord_ = np.argsort(np.take_along_axis(score, idx, axis=1), axis=1, kind="stable")
+        out[s : s + chunk] = np.take_along_axis(idx, ord_, axis=1)
+    return out
+
+
+def synthetic_dataset(
+    n_base: int = 20000,
+    n_query: int = 200,
+    dim: int = 32,
+    n_clusters: int = 32,
+    k_gt: int = 100,
+    seed: int = 43,
+    metric: str = "L2",
+    name: str = "synthetic",
+    compute_gt: bool = True,
+) -> DatasetBundle:
+    """Generate a clustered dataset (Gaussian mixture) with exact ground truth.
+
+    Queries are perturbed base points so they land near cluster boundaries
+    with realistic frequency — this exercises the redundancy machinery.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=4.0, size=(n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n_base)
+    base = centers[assign] + rng.normal(scale=1.0, size=(n_base, dim)).astype(np.float32)
+    base = base.astype(np.float32)
+
+    q_src = rng.integers(0, n_base, size=n_query)
+    query = base[q_src] + rng.normal(scale=0.5, size=(n_query, dim)).astype(np.float32)
+    query = query.astype(np.float32)
+
+    gt = None
+    if compute_gt:
+        gt = _exact_knn_numpy(base, query, k_gt, metric=metric)
+    return DatasetBundle(name=name, base=base, query=query, groundtruth=gt)
+
+
+def write_dataset(bundle: DatasetBundle, data_path: str) -> str:
+    """Materialize a DatasetBundle in the on-disk xvecs layout. Returns its dir."""
+    dataset_dir = os.path.join(data_path, bundle.name)
+    os.makedirs(dataset_dir, exist_ok=True)
+    write_xvecs(os.path.join(dataset_dir, f"{bundle.name}_base.fvecs"), bundle.base)
+    write_xvecs(os.path.join(dataset_dir, f"{bundle.name}_query.fvecs"), bundle.query)
+    if bundle.groundtruth is not None:
+        write_xvecs(
+            os.path.join(dataset_dir, f"{bundle.name}_groundtruth.ivecs"), bundle.groundtruth
+        )
+    return dataset_dir
