@@ -1,0 +1,125 @@
+"""K-Means partitioner, TPU-native.
+
+Replaces the reference's Faiss coarse quantizer (reference: utils.py:321-330,
+faiss.Kmeans niter=20).  Lloyd iterations run fully jitted: assignment is an
+MXU matmul-argmin over centroid scores, the centroid update is a one-hot
+segment-sum (also a matmul).  Training subsamples the corpus to
+`max_points_per_centroid` points per centroid like the reference quantizer
+does, so huge corpora train on a bounded set; the full corpus is then
+assigned in streaming chunks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_scores
+
+
+@dataclass
+class KMeans:
+    centroids: np.ndarray  # (n_bkt, dim) float32
+    objective: np.ndarray  # (niter,) mean squared distance per iteration
+
+    @property
+    def n_bkt(self) -> int:
+        return self.centroids.shape[0]
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _assign_chunked(x: jax.Array, centroids: jax.Array, n_chunks: int):
+    """argmin-distance assignment + per-point min score, scanned over rows."""
+    rows = x.shape[0] // n_chunks
+
+    def body(_, xc):
+        s = pairwise_scores(xc, centroids)
+        return None, (jnp.argmin(s, axis=1).astype(jnp.int32), jnp.min(s, axis=1))
+
+    _, (assign, best) = jax.lax.scan(body, None, x.reshape(n_chunks, rows, x.shape[1]))
+    return assign.reshape(-1), best.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("n_bkt", "niter", "n_chunks"))
+def _lloyd(x: jax.Array, init: jax.Array, reseed: jax.Array, n_bkt: int, niter: int, n_chunks: int):
+    """niter Lloyd iterations; empty clusters re-seeded from preselected rows."""
+    n = x.shape[0]
+
+    def step(carry, i):
+        centroids = carry
+        assign, best = _assign_chunked(x, centroids, n_chunks)
+        one_hot = jax.nn.one_hot(assign, n_bkt, dtype=jnp.float32)  # (n, n_bkt)
+        sums = jax.lax.dot_general(
+            one_hot, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n_bkt, dim)
+        counts = jnp.sum(one_hot, axis=0)  # (n_bkt,)
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        # empty cluster -> re-seed at a distinct random training point
+        new_c = jnp.where((counts > 0)[:, None], new_c, x[reseed])
+        obj = jnp.mean(best)
+        return new_c, obj
+
+    centroids, objs = jax.lax.scan(step, init, jnp.arange(niter))
+    return centroids, objs
+
+
+def kmeans_fit(
+    x: np.ndarray | jax.Array,
+    n_bkt: int,
+    niter: int = 20,
+    seed: int = 43,
+    max_points_per_centroid: int = 256,
+    chunk_rows: int = 16384,
+    verbose: bool = False,
+) -> KMeans:
+    """Train K-Means with Lloyd iterations on (a subsample of) x."""
+    x = np.asarray(x, dtype=np.float32)
+    n, dim = x.shape
+    rng = np.random.default_rng(seed)
+
+    n_train = min(n, max_points_per_centroid * n_bkt)
+    if n_train < n:
+        sel = rng.choice(n, size=n_train, replace=False)
+        xt = x[sel]
+    else:
+        xt = x
+
+    # round rows up to a multiple of n_chunks by repeating head rows
+    # (repeats only bias cluster means negligibly and keep shapes static)
+    n_chunks = max(1, int(np.ceil(len(xt) / chunk_rows)))
+    rows = int(np.ceil(len(xt) / n_chunks))
+    total = rows * n_chunks
+    if total > len(xt):
+        xt = np.concatenate([xt, xt[: total - len(xt)]], axis=0)
+
+    init_idx = rng.choice(len(xt), size=n_bkt, replace=False)
+    reseed_idx = rng.integers(0, len(xt), size=n_bkt)
+
+    centroids, objs = _lloyd(
+        jnp.asarray(xt), jnp.asarray(xt[init_idx]), jnp.asarray(reseed_idx),
+        n_bkt, niter, n_chunks,
+    )
+    if verbose:
+        print(f"kmeans: n_train={len(xt)} objective {np.asarray(objs)[0]:.4g} -> {np.asarray(objs)[-1]:.4g}")
+    return KMeans(centroids=np.asarray(centroids), objective=np.asarray(objs))
+
+
+def kmeans_assign(
+    x: np.ndarray | jax.Array,
+    centroids: np.ndarray | jax.Array,
+    chunk_rows: int = 65536,
+) -> np.ndarray:
+    """Assign every row of x to its nearest centroid (streaming). (n,) int32."""
+    x = np.asarray(x, dtype=np.float32)
+    c = jnp.asarray(centroids, dtype=jnp.float32)
+    out = np.empty(len(x), dtype=np.int32)
+    for s in range(0, len(x), chunk_rows):
+        e = min(s + chunk_rows, len(x))
+        sc = pairwise_scores(jnp.asarray(x[s:e]), c)
+        out[s:e] = np.asarray(jnp.argmin(sc, axis=1), dtype=np.int32)
+    return out

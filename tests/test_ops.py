@@ -1,0 +1,84 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.distance import cdist
+
+from lira_tpu.ops.distance import pairwise_scores, scores_to_distances, l2_to_centroids
+from lira_tpu.ops.knn import exact_knn, self_knn
+
+
+def test_pairwise_l2_matches_cdist(rng):
+    q = rng.normal(size=(17, 9)).astype(np.float32)
+    b = rng.normal(size=(23, 9)).astype(np.float32)
+    s = pairwise_scores(jnp.asarray(q), jnp.asarray(b))
+    d2 = scores_to_distances(s, jnp.asarray(q))
+    expected = cdist(q, b, metric="sqeuclidean")
+    np.testing.assert_allclose(np.asarray(d2), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_pairwise_ip(rng):
+    q = rng.normal(size=(7, 5)).astype(np.float32)
+    b = rng.normal(size=(11, 5)).astype(np.float32)
+    s = pairwise_scores(jnp.asarray(q), jnp.asarray(b), metric="inner_product")
+    np.testing.assert_allclose(np.asarray(s), -(q @ b.T), rtol=1e-5, atol=1e-5)
+
+
+def test_l2_to_centroids_matches_cdist(rng):
+    x = rng.normal(size=(50, 12)).astype(np.float32)
+    c = rng.normal(size=(8, 12)).astype(np.float32)
+    d = l2_to_centroids(jnp.asarray(x), jnp.asarray(c))
+    expected = cdist(x, c, metric="euclidean")
+    np.testing.assert_allclose(np.asarray(d), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_knn_matches_numpy(rng):
+    base = rng.normal(size=(500, 16)).astype(np.float32)
+    query = rng.normal(size=(37, 16)).astype(np.float32)
+    _, ids = exact_knn(base, query, k=5, q_tile=16, b_tile=128)
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(ids, expected)
+
+
+def test_exact_knn_ip(rng):
+    base = rng.normal(size=(300, 8)).astype(np.float32)
+    query = rng.normal(size=(11, 8)).astype(np.float32)
+    _, ids = exact_knn(base, query, k=4, metric="inner_product", q_tile=8, b_tile=128)
+    expected = np.argsort(-(query @ base.T), axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(ids, expected)
+
+
+def test_exact_knn_unpadded_shapes(rng):
+    # n_b and n_q not multiples of tiles; padding must not leak into results
+    base = rng.normal(size=(97, 7)).astype(np.float32)
+    query = rng.normal(size=(13, 7)).astype(np.float32)
+    _, ids = exact_knn(base, query, k=3, q_tile=8, b_tile=128)
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :3]
+    np.testing.assert_array_equal(ids, expected)
+    assert ids.max() < 97
+
+
+def test_self_knn_excludes_self(rng):
+    base = rng.normal(size=(200, 8)).astype(np.float32)
+    knn = self_knn(base, k=5, q_tile=16, b_tile=128)
+    assert knn.shape == (200, 5)
+    rows = np.arange(200)[:, None]
+    assert not (knn == rows).any()
+    # matches numpy oracle with self removed
+    d = cdist(base, base, metric="sqeuclidean")
+    np.fill_diagonal(d, np.inf)
+    expected = np.argsort(d, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(knn, expected)
+
+
+def test_self_knn_with_duplicates():
+    # exact duplicate rows: self may not rank first; exactly one slot dropped per row
+    base = np.ones((10, 4), dtype=np.float32)
+    base[5:] = 2.0
+    knn = self_knn(base, k=3, q_tile=8, b_tile=128)
+    assert knn.shape == (10, 3)
+    rows = np.arange(10)[:, None]
+    assert not (knn == rows).any()
+    # each row's neighbors are the other duplicates of its value group
+    assert set(knn[0]) <= set(range(1, 5))
+    assert set(knn[7]) <= {5, 6, 8, 9}

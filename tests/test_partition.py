@@ -1,0 +1,76 @@
+import numpy as np
+
+from lira_tpu.partition.kmeans import kmeans_fit, kmeans_assign
+from lira_tpu.partition.assign import build_bucket_layout
+
+
+def test_kmeans_objective_decreases(tiny_dataset):
+    km = kmeans_fit(tiny_dataset.base, n_bkt=8, niter=10, seed=43)
+    assert km.centroids.shape == (8, tiny_dataset.base.shape[1])
+    assert km.objective[-1] <= km.objective[0]
+    assert np.isfinite(km.centroids).all()
+
+
+def test_kmeans_recovers_separated_clusters(rng):
+    # 4 well-separated blobs: kmeans should place one centroid in each
+    centers = np.array([[0, 0], [100, 0], [0, 100], [100, 100]], dtype=np.float32)
+    x = np.concatenate([c + rng.normal(scale=0.5, size=(50, 2)) for c in centers]).astype(np.float32)
+    km = kmeans_fit(x, n_bkt=4, niter=15, seed=0)
+    assign = kmeans_assign(x, km.centroids)
+    # each blob maps to a single cluster, all four distinct
+    blocks = [set(assign[i * 50 : (i + 1) * 50]) for i in range(4)]
+    assert all(len(b) == 1 for b in blocks)
+    assert len(set().union(*blocks)) == 4
+
+
+def test_kmeans_assign_is_nearest(rng):
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    c = rng.normal(size=(5, 8)).astype(np.float32)
+    assign = kmeans_assign(x, c)
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(assign, d.argmin(axis=1))
+
+
+def test_kmeans_subsampling(rng):
+    x = rng.normal(size=(5000, 4)).astype(np.float32)
+    km = kmeans_fit(x, n_bkt=4, niter=3, max_points_per_centroid=100)
+    assert km.centroids.shape == (4, 4)
+
+
+def test_bucket_layout_basic():
+    data_2_bkt = np.array([[0, -1], [1, -1], [0, 1], [2, -1], [1, 0]])
+    lay = build_bucket_layout(data_2_bkt, n_bkt=4, tile=4)
+    np.testing.assert_array_equal(lay.bucket_members(0), [0, 2, 4])
+    np.testing.assert_array_equal(lay.bucket_members(1), [1, 2, 4])
+    np.testing.assert_array_equal(lay.bucket_members(2), [3])
+    np.testing.assert_array_equal(lay.bucket_members(3), [])
+    np.testing.assert_array_equal(lay.sizes, [3, 3, 1, 0])
+    assert lay.total == 7
+    # padded sizes are tile multiples; empty buckets stay empty
+    np.testing.assert_array_equal(lay.padded_sizes, [4, 4, 4, 0])
+    assert (lay.padded_ids[lay.padded_ids >= 0] < 5).all()
+
+
+def test_bucket_layout_dedup():
+    # same (point, bucket) pair twice -> counted once
+    data_2_bkt = np.array([[3, 3], [3, -1]])
+    lay = build_bucket_layout(data_2_bkt, n_bkt=4, tile=2)
+    np.testing.assert_array_equal(lay.bucket_members(3), [0, 1])
+
+
+def test_bucket_layout_gather(rng):
+    x = rng.normal(size=(6, 3)).astype(np.float32)
+    data_2_bkt = np.array([[0], [0], [1], [1], [1], [0]])
+    lay = build_bucket_layout(data_2_bkt, n_bkt=2, tile=4)
+    vec = lay.gather_vectors(x)
+    np.testing.assert_allclose(vec[:3], x[[0, 1, 5]])
+    np.testing.assert_allclose(vec[3], 0.0)  # padding
+    np.testing.assert_allclose(vec[4:7], x[[2, 3, 4]])
+
+
+def test_bucket_layout_matches_bincount(rng):
+    assign = rng.integers(0, 16, size=1000)
+    lay = build_bucket_layout(assign, n_bkt=16, tile=8)
+    np.testing.assert_array_equal(lay.sizes, np.bincount(assign, minlength=16))
+    # every id appears exactly once overall
+    np.testing.assert_array_equal(np.sort(lay.ids), np.arange(1000))
