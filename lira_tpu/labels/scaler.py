@@ -1,0 +1,111 @@
+"""Per-feature standardizer for the centroid-distance features.
+
+Capability parity with the sklearn StandardScaler usage in the reference
+(reference: utils.py:120-215): biased (ddof=0) variance, zero-variance
+features get scale 1, streaming partial_fit for corpora ≥1M rows, and the
+mean/scale vectors persist as `.npy` artifacts consumed by the serving
+engine (reference: search.cpp:237-250 reads them back).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import l2_to_centroids
+
+
+class StandardScaler:
+    """(x - mean) / scale with scale = sqrt(biased var); zero-var → scale 1."""
+
+    def __init__(self):
+        self.mean_: np.ndarray | None = None
+        self.scale_: np.ndarray | None = None
+        self._count = 0
+        self._sum: np.ndarray | None = None
+        self._sumsq: np.ndarray | None = None
+
+    def partial_fit(self, x: np.ndarray) -> "StandardScaler":
+        x = np.asarray(x, dtype=np.float64)
+        if self._sum is None:
+            self._sum = x.sum(axis=0)
+            self._sumsq = (x * x).sum(axis=0)
+        else:
+            self._sum += x.sum(axis=0)
+            self._sumsq += (x * x).sum(axis=0)
+        self._count += len(x)
+        mean = self._sum / self._count
+        var = np.maximum(self._sumsq / self._count - mean * mean, 0.0)
+        scale = np.sqrt(var)
+        scale[scale < 10 * np.finfo(np.float64).eps] = 1.0
+        self.mean_ = mean.astype(np.float32)
+        self.scale_ = scale.astype(np.float32)
+        return self
+
+    def fit(self, x: np.ndarray) -> "StandardScaler":
+        self._count = 0
+        self._sum = None
+        self._sumsq = None
+        return self.partial_fit(x)
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        if self.mean_ is None:
+            raise RuntimeError("Scaler not fitted")
+        return ((np.asarray(x, dtype=np.float32) - self.mean_) / self.scale_).astype(np.float32)
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        return self.fit(x).transform(x)
+
+    def save(self, out_dir: str, prefix: str) -> tuple[str, str]:
+        """Persist the artifact contract: {prefix}_scaler_mean.npy / _scaler_scale.npy."""
+        os.makedirs(out_dir, exist_ok=True)
+        mean_path = os.path.join(out_dir, f"{prefix}_scaler_mean.npy")
+        scale_path = os.path.join(out_dir, f"{prefix}_scaler_scale.npy")
+        np.save(mean_path, self.mean_.astype(np.float32))
+        np.save(scale_path, self.scale_.astype(np.float32))
+        return mean_path, scale_path
+
+    @classmethod
+    def load(cls, out_dir: str, prefix: str) -> "StandardScaler":
+        sc = cls()
+        sc.mean_ = np.load(os.path.join(out_dir, f"{prefix}_scaler_mean.npy"))
+        sc.scale_ = np.load(os.path.join(out_dir, f"{prefix}_scaler_scale.npy"))
+        return sc
+
+
+def scaled_centroid_distances(
+    x_d: np.ndarray,
+    x_q: np.ndarray | None,
+    centroids: np.ndarray,
+    chunk_rows: int = 65536,
+    scaler: StandardScaler | None = None,
+) -> tuple[np.ndarray, np.ndarray | None, StandardScaler]:
+    """Sqrt-L2 distances to all centroids, standardized on the data distribution.
+
+    Streams the corpus through the TPU distance kernel in chunks (one pass
+    accumulating scaler moments, then a transform pass reusing the computed
+    chunks when they fit, recomputing otherwise is unnecessary since we keep
+    the raw matrix — it is (n, n_bkt) float32, the same size the model input
+    needs anyway).
+    """
+    c = jnp.asarray(centroids, dtype=jnp.float32)
+    n = len(x_d)
+    dist_d = np.empty((n, centroids.shape[0]), dtype=np.float32)
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        dist_d[s:e] = np.asarray(l2_to_centroids(jnp.asarray(x_d[s:e]), c))
+
+    if scaler is None:
+        scaler = StandardScaler()
+        for s in range(0, n, chunk_rows):
+            scaler.partial_fit(dist_d[s : min(s + chunk_rows, n)])
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        dist_d[s:e] = scaler.transform(dist_d[s:e])
+
+    dist_q = None
+    if x_q is not None:
+        dist_q = scaler.transform(np.asarray(l2_to_centroids(jnp.asarray(x_q), c)))
+    return dist_d, dist_q, scaler

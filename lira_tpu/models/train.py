@@ -1,0 +1,166 @@
+"""Training / evaluation / inference loops for the probing MLP.
+
+Replaces the reference's torch loops (model_probing.py:41-156) with jitted
+optax steps: an epoch is a lax.scan over device-resident superbatches, BCE
+is computed from logits (numerically stable; identical value to sigmoid+BCE),
+Adam lr 1e-4 matches the reference optimizer (LIRA_smallscale.py:310).
+Large corpora stream host→device in superbatches so the (n, n_bkt+dim)
+feature matrix never has to fit in HBM at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .probing_mlp import forward, forward_logits, init_params
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation
+
+
+def make_train_state(seed: int, n_bkt: int, dim: int, lr: float = 1e-4) -> TrainState:
+    params = init_params(jax.random.PRNGKey(seed), n_bkt, dim)
+    tx = optax.adam(lr, eps=1e-8)
+    return TrainState(params=params, opt_state=tx.init(params), tx=tx)
+
+
+def _masked_bce_from_logits(logits, targets, row_mask):
+    """Mean BCE over real rows (padding rows excluded from the mean)."""
+    per_elem = optax.sigmoid_binary_cross_entropy(logits, targets)
+    per_row = jnp.mean(per_elem, axis=-1)
+    denom = jnp.maximum(jnp.sum(row_mask), 1.0)
+    return jnp.sum(per_row * row_mask) / denom
+
+
+@partial(jax.jit, static_argnames=("tx", "batch_size"))
+def _train_superbatch(params, opt_state, tx, dist, vec, targets, row_mask, batch_size):
+    """Sequential Adam steps over the batches inside one superbatch."""
+    n_batches = dist.shape[0] // batch_size
+
+    def reshape(x):
+        return x.reshape(n_batches, batch_size, *x.shape[1:])
+
+    def step(carry, batch):
+        params, opt_state, loss_sum = carry
+        b_dist, b_vec, b_tgt, b_mask = batch
+
+        def loss_fn(p):
+            logits = forward_logits(p, b_dist, b_vec)
+            return _masked_bce_from_logits(logits, b_tgt, b_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, loss_sum + loss), None
+
+    init = (params, opt_state, jnp.float32(0.0))
+    (params, opt_state, loss_sum), _ = jax.lax.scan(
+        step, init, (reshape(dist), reshape(vec), reshape(targets), reshape(row_mask))
+    )
+    return params, opt_state, loss_sum
+
+
+def _superbatches(n: int, batch_size: int, super_rows: int):
+    """Yield (start, end, padded_len) windows; padded_len is a batch multiple."""
+    super_rows = max(batch_size, (super_rows // batch_size) * batch_size)
+    for s in range(0, n, super_rows):
+        e = min(s + super_rows, n)
+        padded = ((e - s + batch_size - 1) // batch_size) * batch_size
+        yield s, e, padded
+
+
+def train_epoch(
+    state: TrainState,
+    dist: np.ndarray,
+    vec: np.ndarray,
+    targets: np.ndarray,
+    batch_size: int = 64,
+    super_rows: int = 262144,
+) -> tuple[TrainState, float]:
+    """One pass over the data (no shuffling, like the reference loader).
+
+    Returns (new_state, mean per-batch loss) — same loss accounting as the
+    reference's total_loss/len(train_loader).
+    """
+    n = len(dist)
+    params, opt_state = state.params, state.opt_state
+    loss_sum, n_batches = 0.0, 0
+    for s, e, padded in _superbatches(n, batch_size, super_rows):
+        bd = np.zeros((padded, dist.shape[1]), np.float32)
+        bv = np.zeros((padded, vec.shape[1]), np.float32)
+        bt = np.zeros((padded, targets.shape[1]), np.float32)
+        mask = np.zeros(padded, np.float32)
+        bd[: e - s], bv[: e - s], bt[: e - s] = dist[s:e], vec[s:e], targets[s:e]
+        mask[: e - s] = 1.0
+        params, opt_state, ls = _train_superbatch(
+            params, opt_state, state.tx,
+            jnp.asarray(bd), jnp.asarray(bv), jnp.asarray(bt), jnp.asarray(mask),
+            batch_size,
+        )
+        loss_sum += float(ls)
+        n_batches += padded // batch_size
+    return TrainState(params, opt_state, state.tx), loss_sum / max(n_batches, 1)
+
+
+@jax.jit
+def _forward_chunk(params, dist, vec):
+    logits = forward_logits(params, dist, vec)
+    return jax.nn.sigmoid(logits), logits
+
+
+def _batched_forward(params, dist, vec, chunk: int = 65536):
+    n = len(dist)
+    outs, logits_all = [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        probs, logits = _forward_chunk(
+            params, jnp.asarray(dist[s:e], jnp.float32), jnp.asarray(vec[s:e], jnp.float32)
+        )
+        outs.append(np.asarray(probs))
+        logits_all.append(np.asarray(logits))
+    return np.concatenate(outs), np.concatenate(logits_all)
+
+
+def evaluate(
+    state_or_params,
+    dist: np.ndarray,
+    vec: np.ndarray,
+    targets: np.ndarray,
+    sigma: float = 0.5,
+    batch_size: int = 64,
+) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """Returns (targets, predicts, avg_loss, outputs) like the reference
+    model_evaluate (model_probing.py:86-132); avg_loss is the mean of
+    per-batch mean BCE under the reference's batch partition."""
+    params = getattr(state_or_params, "params", state_or_params)
+    outputs, logits = _batched_forward(params, dist, vec)
+    predicts = outputs > sigma
+
+    t = np.asarray(targets, dtype=np.float32)
+    per_elem = np.maximum(logits, 0) - logits * t + np.log1p(np.exp(-np.abs(logits)))
+    per_row = per_elem.mean(axis=1)
+    n = len(per_row)
+    batch_means = [per_row[s : min(s + batch_size, n)].mean() for s in range(0, n, batch_size)]
+    avg_loss = float(np.mean(batch_means))
+    return t, predicts, avg_loss, outputs
+
+
+def infer(
+    state_or_params, dist: np.ndarray, vec: np.ndarray, sigma: float = 0.5
+) -> tuple[np.ndarray, np.ndarray]:
+    """(predicts, outputs) — scoring pass used by the redundancy engine
+    (reference: model_probing.py:135-156)."""
+    params = getattr(state_or_params, "params", state_or_params)
+    outputs, _ = _batched_forward(params, dist, vec)
+    return outputs > sigma, outputs
