@@ -11,10 +11,13 @@ def test_kmeans_objective_decreases(tiny_dataset):
     assert np.isfinite(km.centroids).all()
 
 
-def test_kmeans_recovers_separated_clusters(rng):
+def test_kmeans_recovers_separated_clusters():
     # 4 well-separated blobs: kmeans should place one centroid in each
+    local = np.random.default_rng(7)
     centers = np.array([[0, 0], [100, 0], [0, 100], [100, 100]], dtype=np.float32)
-    x = np.concatenate([c + rng.normal(scale=0.5, size=(50, 2)) for c in centers]).astype(np.float32)
+    x = np.concatenate([c + local.normal(scale=0.5, size=(50, 2)) for c in centers]).astype(
+        np.float32
+    )
     km = kmeans_fit(x, n_bkt=4, niter=15, seed=0)
     assign = kmeans_assign(x, km.centroids)
     # each blob maps to a single cluster, all four distinct
