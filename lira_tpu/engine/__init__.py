@@ -1,0 +1,12 @@
+from .scan import bucket_topk, BucketCorpus
+from .sweep import threshold_sweep, gt_hit_tensor, SweepRow
+from .serve import QueryEngine
+
+__all__ = [
+    "bucket_topk",
+    "BucketCorpus",
+    "threshold_sweep",
+    "gt_hit_tensor",
+    "SweepRow",
+    "QueryEngine",
+]
