@@ -1,0 +1,221 @@
+"""Small-scale end-to-end pipeline: build → train → evaluate → redundancy → sweep.
+
+The TPU re-design of the reference's main experiment path
+(reference: LIRA_smallscale.py:246-379):
+
+  1. load dataset (+ ground truth), compute/load cached self-kNN
+  2. K-Means partition build (matmul Lloyd), single-bucket assignment
+  3. multi-label targets: data 0/1 labels + query gt bucket map
+  4. standardized centroid-distance features (scaler persisted)
+  5. probing-MLP training, per-epoch eval metrics table
+  6. baseline threshold sweep (part 0) via one corpus scan
+  7. learning-based redundancy of the top-x% boundary vectors
+  8. rebuilt layout, part-1 sweep
+  9. optional: measured serving-engine sweep (batched QPS)
+
+Returns everything a caller (tests, CLI, bench) needs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..engine.scan import BucketCorpus, bucket_topk
+from ..engine.serve import QueryEngine
+from ..engine.sweep import gt_hit_tensor, sweep_to_csv, threshold_sweep
+from ..io.cache import load_knn_cache, save_knn_cache
+from ..io.datasets import DatasetBundle, load_data
+from ..labels.distr import gt_bucket_map, knn_bucket_labels
+from ..labels.scaler import scaled_centroid_distances
+from ..logging_utils import ascii_table, fprint, stage_timer
+from ..models.metrics import probing_metrics
+from ..models.train import evaluate, make_train_state, train_epoch
+from ..ops.knn import self_knn
+from ..partition.assign import build_bucket_layout
+from ..partition.kmeans import kmeans_assign, kmeans_fit
+from ..redundancy.assign import apply_redundancy, select_top_ratio
+
+
+def get_self_knn(x_d: np.ndarray, cfg: Config, use_cache: bool = True) -> np.ndarray:
+    """3-tier self-kNN provider: cache hit or TPU brute-force + cache write
+    (reference: utils.py:223-319 + compute_knn.cpp)."""
+    if use_cache and cfg.dataset:
+        cached = load_knn_cache(cfg.data_path, cfg.dataset, cfg.k, len(x_d))
+        if cached is not None:
+            return cached
+    t0 = time.perf_counter()
+    knn = self_knn(x_d, cfg.k, metric=cfg.dis_metric)
+    elapsed = time.perf_counter() - t0
+    if use_cache and cfg.dataset:
+        try:
+            save_knn_cache(
+                cfg.data_path, cfg.dataset, knn, dim=x_d.shape[1],
+                method="tpu_flat_exact", timings={"search_time": round(elapsed, 3)},
+            )
+        except OSError:
+            pass  # read-only dataset dir: skip caching
+    return knn
+
+
+def run_smallscale(
+    cfg: Config,
+    bundle: DatasetBundle | None = None,
+    log_file=None,
+    serve_sweep: bool = False,
+    use_cache: bool = True,
+) -> dict:
+    fw = log_file
+    if bundle is None:
+        bundle = load_data(cfg.dataset, data_path=cfg.data_path)
+    if bundle.groundtruth is None:
+        raise ValueError(f"Ground truth missing for dataset {cfg.dataset}")
+    x_d, x_q = bundle.base, bundle.query
+    n_d, dim = x_d.shape
+    n_bkt = cfg.n_bkt
+    fprint(
+        f">> dataset: {cfg.dataset}, data: {x_d.shape}, query: {x_q.shape}, "
+        f"n_bkt: {n_bkt}, k: {cfg.k}, metric: {cfg.dis_metric}",
+        fw,
+    )
+
+    # (1) self-kNN labels for the corpus; query labels from ground truth
+    knn_data = get_self_knn(x_d, cfg, use_cache=use_cache)
+    knn_query = bundle.groundtruth[:, : cfg.k]
+
+    # (2) initial partitioning
+    with stage_timer("build kmeans index", fw):
+        km = kmeans_fit(x_d, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed)
+        assign = kmeans_assign(x_d, km.centroids)
+    data_2_bkt = np.full((n_d, cfg.n_mul), -1, dtype=np.int32)
+    data_2_bkt[:, 0] = assign
+    layout = build_bucket_layout(data_2_bkt, n_bkt)
+
+    # (3) multi-label targets + distance features
+    with stage_timer("label construction", fw):
+        labels_data = knn_bucket_labels(knn_data, data_2_bkt, n_bkt)
+        labels_query = knn_bucket_labels(knn_query, data_2_bkt, n_bkt)
+        gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
+    with stage_timer("scaled distances", fw):
+        dist_d, dist_q, scaler = scaled_centroid_distances(x_d, x_q, km.centroids)
+        if cfg.pth_log and cfg.file_name:
+            scaler.save(cfg.pth_log, cfg.file_name)
+
+    # (4) probing model training
+    state = make_train_state(cfg.seed, n_bkt, dim, lr=cfg.lr)
+    epoch_rows = []
+    headers = ["Epoch", "Loss", "Accuracy", "Hit Rate", "nprobe predict",
+               "nprobe target", "KNN Recall", "KNN Computations"]
+
+    def eval_epoch(epoch, loss_train=None):
+        _, predicts, loss_test, outputs = evaluate(
+            state, dist_q, x_q, labels_query, sigma=cfg.sigma, batch_size=cfg.batch_size
+        )
+        m = probing_metrics(
+            predicts, labels_query, gt_buckets, layout.sizes, cfg.k, epoch=epoch, loss=round(loss_test, 4)
+        )
+        epoch_rows.append(m)
+        fprint(ascii_table(headers, [[m[h] for h in headers]]), fw)
+        return outputs
+
+    eval_epoch(-1)
+    for epoch in range(cfg.n_epoch):
+        t0 = time.perf_counter()
+        state, loss_train = train_epoch(state, dist_d, x_d, labels_data, batch_size=cfg.batch_size)
+        t_train = time.perf_counter() - t0
+        fprint(f"Epoch {epoch}, Train Loss: {loss_train:.5f}, time_train: {t_train:.2f}s", fw)
+        outputs = eval_epoch(epoch, loss_train)
+
+    results: dict = {"epoch_rows": epoch_rows, "state": state, "kmeans": km, "scaler": scaler}
+
+    # (5) baseline sweep (part 0) + redundancy + part-1 sweep
+    thresholds = np.arange(cfg.t_min, cfg.t_max + cfg.t_step / 2, cfg.t_step)
+    sweep_parts = []
+    if cfg.duplicate_type == "model":
+        data_predicts, data_scores = evaluate(
+            state, dist_d, x_d, labels_data, sigma=cfg.sigma, batch_size=cfg.batch_size
+        )[1::2]
+        with stage_timer("baseline scan + sweep (part 0)", fw):
+            corpus = BucketCorpus.build(x_d, layout)
+            found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            hit = gt_hit_tensor(found, knn_query, gt_buckets)
+            rows0 = threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+        sweep_parts.append(rows0)
+
+        selected = select_top_ratio(data_predicts, cfg.redundancy_ratio)
+        fprint(f">> redundancy: duplicating top {len(selected)}/{n_d} boundary vectors", fw)
+        with stage_timer("redundancy assignment", fw):
+            data_2_bkt = apply_redundancy(data_2_bkt, data_scores, data_predicts, selected)
+            layout = build_bucket_layout(data_2_bkt, n_bkt)
+            gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
+
+        with stage_timer("redundant scan + sweep (part 1)", fw):
+            corpus = BucketCorpus.build(x_d, layout)
+            found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            hit = gt_hit_tensor(found, knn_query, gt_buckets)
+            rows1 = threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+        sweep_parts.append(rows1)
+    else:
+        with stage_timer("scan + sweep", fw):
+            corpus = BucketCorpus.build(x_d, layout)
+            found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            hit = gt_hit_tensor(found, knn_query, gt_buckets)
+            sweep_parts.append(
+                threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+            )
+
+    if cfg.pth_log and cfg.file_name:
+        os.makedirs(cfg.pth_log, exist_ok=True)
+        for part, rows in enumerate(sweep_parts):
+            sweep_to_csv(
+                rows,
+                os.path.join(
+                    cfg.pth_log, cfg.file_name + "_tuning_threshold", f"{cfg.duplicate_type}_{part}.csv"
+                ),
+            )
+        _epochs_to_csv(epoch_rows, os.path.join(cfg.pth_log, cfg.df_name))
+
+    # (6) measured serving sweep (batched QPS) — the C++ engine equivalent
+    if serve_sweep:
+        engine = QueryEngine(
+            x_d, layout, km.centroids, scaler, state.params, metric=cfg.dis_metric, n_mul=cfg.n_mul
+        )
+        results["serve_rows"] = engine.sweep(x_q, knn_query, cfg.k, thresholds)
+        results["engine"] = engine
+
+    results.update(
+        {
+            "data_2_bkt": data_2_bkt,
+            "layout": layout,
+            "sweep_parts": sweep_parts,
+            "outputs": outputs,
+        }
+    )
+    return results
+
+
+def _epochs_to_csv(rows: list[dict], path: str) -> None:
+    if not rows:
+        return
+    headers = list(rows[0].keys())
+    with open(path, "w") as f:
+        f.write(",".join(headers) + "\n")
+        for r in rows:
+            f.write(",".join(str(r[h]) for h in headers) + "\n")
+
+
+def main(argv=None):
+    from ..config import parse_config
+
+    cfg = parse_config(argv)
+    os.makedirs(cfg.pth_log, exist_ok=True)
+    with open(os.path.join(cfg.pth_log, cfg.log_name), "a", encoding="utf-8") as fw:
+        run_smallscale(cfg, log_file=fw, serve_sweep=True)
+        fprint("finish!", fw)
+
+
+if __name__ == "__main__":
+    main()
