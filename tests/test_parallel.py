@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+import jax
+
+from lira_tpu.parallel.mesh import make_mesh
+from lira_tpu.parallel.train_dp import dp_train_epoch, make_dp_train_step
+from lira_tpu.parallel.sharded_engine import ShardedQueryEngine, balanced_bucket_split
+from lira_tpu.models.train import make_train_state, train_epoch, evaluate
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_balanced_split():
+    sizes = np.array([100, 90, 10, 10, 10, 10, 50, 50])
+    groups = balanced_bucket_split(sizes, 4)
+    loads = [sizes[g].sum() for g in groups]
+    assert sum(len(g) for g in groups) == 8
+    assert max(loads) - min(loads) <= 60
+    # every bucket appears exactly once
+    assert sorted(np.concatenate(groups).tolist()) == list(range(8))
+
+
+@needs_8
+def test_dp_training_matches_single_device(rng):
+    import optax
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.models.train import TrainState
+
+    n, n_bkt, dim = 256, 8, 16
+    dist = rng.normal(size=(n, n_bkt)).astype(np.float32)
+    vec = rng.normal(size=(n, dim)).astype(np.float32)
+    targets = (rng.random((n, n_bkt)) < 0.3).astype(np.float32)
+
+    # SGD makes the update linear in the gradient, so DP-vs-single parity
+    # tests gradient correctness without Adam's amplification of float
+    # summation-order noise in near-zero grads.
+    def sgd_state():
+        params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+        tx = optax.sgd(0.1)
+        return TrainState(params=params, opt_state=tx.init(params), tx=tx)
+
+    mesh = make_mesh(8)
+    s_dp, loss_dp = dp_train_epoch(sgd_state(), mesh, dist, vec, targets, global_batch=256)
+    s_sd, loss_sd = train_epoch(sgd_state(), dist, vec, targets, batch_size=256)
+
+    assert loss_dp == pytest.approx(loss_sd, rel=1e-5)
+    for layer in s_dp.params:
+        for name in s_dp.params[layer]:
+            np.testing.assert_allclose(
+                np.asarray(s_dp.params[layer][name]),
+                np.asarray(s_sd.params[layer][name]),
+                rtol=1e-4, atol=1e-6,
+            )
+
+
+@needs_8
+def test_dp_training_with_padding(rng):
+    # n not divisible by devices*batch: padded rows must not corrupt the loss
+    n, n_bkt, dim = 100, 4, 8
+    dist = rng.normal(size=(n, n_bkt)).astype(np.float32)
+    vec = rng.normal(size=(n, dim)).astype(np.float32)
+    targets = (rng.random((n, n_bkt)) < 0.3).astype(np.float32)
+    mesh = make_mesh(8)
+    state = make_train_state(seed=1, n_bkt=n_bkt, dim=dim)
+    state, loss = dp_train_epoch(state, mesh, dist, vec, targets, global_batch=64)
+    assert np.isfinite(loss)
+
+
+@needs_8
+def test_sharded_engine_matches_single_device():
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.ops.distance import l2_to_centroids
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n, dim, n_bkt = 800, 8, 10
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(30, dim)).astype(np.float32)
+    d2b = np.full((n, 2), -1, dtype=np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    sel = rng.random(n) < 0.15
+    d2b[sel, 1] = rng.integers(0, n_bkt, size=sel.sum())
+    layout = build_bucket_layout(d2b, n_bkt, tile=16)
+    km = kmeans_fit(x_d, n_bkt, niter=3, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+
+    single = QueryEngine(x_d, layout, km.centroids, scaler, params, tile=16)
+    mesh = make_mesh(8)
+    sharded = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh)
+
+    for thr in (0.0, 0.5, 1.1):
+        r1 = single.search(x_q, thr, k=5)
+        r8 = sharded.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.nprobe, r8.nprobe)
+        np.testing.assert_array_equal(r1.ndis, r8.ndis)
+        # same neighbor sets (ties may reorder)
+        for i in range(len(x_q)):
+            s1 = set(int(v) for v in r1.ids[i] if v >= 0)
+            s8 = set(int(v) for v in r8.ids[i] if v >= 0)
+            assert s1 == s8, f"thr={thr} query {i}"
