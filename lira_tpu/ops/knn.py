@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .topk import grouped_topk
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -57,7 +59,8 @@ def _knn_query_tile(
             score = -dot + chunk_extra
         else:
             score = chunk_extra - 2.0 * dot
-        neg, idx = jax.lax.top_k(-score, k)  # per-chunk top-k (neg: larger = closer)
+        vals, idx = grouped_topk(score, k)  # exact per-chunk top-k, ascending
+        neg = -vals
         idx = idx + i * b_tile
         merged_neg = jnp.concatenate([best_neg, neg], axis=1)
         merged_idx = jnp.concatenate([best_idx, idx], axis=1)

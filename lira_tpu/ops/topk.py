@@ -1,0 +1,53 @@
+"""Exact top-k over wide rows, TPU-fast.
+
+`lax.top_k` over a 100k-wide row costs a partial sort of the whole row —
+it dominated the brute-force kNN profile on TPU.  `grouped_topk` is an
+exact two-stage reduction instead:
+
+  1. reshape the row into G groups of `group` lanes and take per-group mins
+     (one cheap VPU pass);
+  2. any group containing a true top-k element has group-min ≤ the k-th
+     smallest value, and at most k groups can satisfy that — so the k+2
+     groups with smallest mins are guaranteed to contain every top-k
+     element;
+  3. gather those groups' scores and run the small exact top-k on
+     (k+2)·group lanes.
+
+~10-40× less sort work than a full-row top_k at identical results
+(tie-order may differ only between exactly-equal scores).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grouped_topk(scores: jax.Array, k: int, group: int = 128):
+    """Exact smallest-k of each row. Returns (values, indices), ascending.
+
+    scores: (Q, C) float32, smaller = better.  Pads C with +inf to a group
+    multiple; rows must satisfy k ≤ C.
+    """
+    q, c = scores.shape
+    if c <= max(2 * group, k * 2):
+        neg, idx = jax.lax.top_k(-scores, min(k, c))
+        return -neg, idx
+
+    pad = (-c) % group
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    g = scores.shape[1] // group
+    grouped = scores.reshape(q, g, group)
+    gmin = grouped.min(axis=-1)  # (Q, G)
+
+    k_groups = min(g, k + 2)
+    _, gsel = jax.lax.top_k(-gmin, k_groups)  # groups holding the top-k (Q, k_groups)
+
+    # gather the selected groups' lanes and finish with a small exact top-k
+    sub = jnp.take_along_axis(grouped, gsel[:, :, None], axis=1)  # (Q, k_groups, group)
+    sub = sub.reshape(q, k_groups * group)
+    neg, sel = jax.lax.top_k(-sub, k)
+    base = gsel[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+    idx = jnp.take_along_axis(base.reshape(q, -1), sel, axis=1)
+    return -neg, idx

@@ -1,0 +1,226 @@
+"""Large-scale pipeline: train on a sampled subset, redundancy over the full corpus.
+
+The TPU re-design of the reference's large-scale path
+(reference: LIRA_largescale.py:184-354):
+
+  1. uniform subset (default 1%) of the corpus
+  2. subset self-kNN + query-kNN-on-subset (both cached)
+  3. K-Means trained on the subset; probing MLP trained on subset labels
+  4. full corpus assigned to the trained centroids in streaming chunks
+  5. learning-based redundancy applied to *every* point, scored in
+     `redundancy_batch`-row batches on device
+  6. threshold sweeps before/after redundancy (default range 0.1–1.0)
+
+Deviation from the reference, by design: batch features reuse the
+subset-fitted scaler (the reference re-fits a fresh scaler on every 1M-row
+batch — get_scaled_dist_data — which silently changes the feature
+distribution between training and redundancy scoring).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..engine.scan import BucketCorpus, bucket_topk
+from ..engine.sweep import gt_hit_tensor, sweep_to_csv, threshold_sweep
+from ..io.datasets import DatasetBundle, load_data
+from ..labels.distr import gt_bucket_map, knn_bucket_labels
+from ..labels.scaler import scaled_centroid_distances
+from ..logging_utils import ascii_table, fprint, stage_timer
+from ..models.metrics import probing_metrics
+from ..models.train import evaluate, infer, make_train_state, train_epoch
+from ..ops.knn import exact_knn
+from ..partition.assign import build_bucket_layout
+from ..partition.kmeans import kmeans_assign, kmeans_fit
+from ..redundancy.assign import redundancy_rows
+from .smallscale import _epochs_to_csv, get_self_knn
+
+
+def query_knn_on_subset(
+    x_sub: np.ndarray, x_q: np.ndarray, cfg: Config, use_cache: bool = True
+) -> np.ndarray:
+    """Query ground truth restricted to the training subset, cached
+    (reference: LIRA_largescale.py:217-234)."""
+    cache_file = None
+    if use_cache and cfg.dataset:
+        cache_dir = os.path.join(cfg.data_path, cfg.dataset, "knn_cache")
+        cache_file = os.path.join(
+            cache_dir, f"{cfg.dataset}-query_on_subset_knn{cfg.k}-nsub{len(x_sub)}.npy"
+        )
+        if os.path.exists(cache_file):
+            return np.load(cache_file).astype(np.int32)
+    _, knn = exact_knn(x_sub, x_q, cfg.k, metric=cfg.dis_metric)
+    if cache_file:
+        try:
+            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+            np.save(cache_file, knn)
+        except OSError:
+            pass
+    return knn
+
+
+def full_corpus_redundancy(
+    x_d: np.ndarray,
+    data_2_bkt: np.ndarray,
+    centroids: np.ndarray,
+    scaler,
+    state,
+    cfg: Config,
+) -> np.ndarray:
+    """Score and re-assign every corpus point in device-sized batches
+    (reference: LIRA_largescale.py:320-329 + the offset-aware
+    mul_partition_by_model at :51-72)."""
+    n_d = len(x_d)
+    out = np.array(data_2_bkt, copy=True)
+    for s in range(0, n_d, cfg.redundancy_batch):
+        e = min(s + cfg.redundancy_batch, n_d)
+        batch = x_d[s:e]
+        dist_b, _, _ = scaled_centroid_distances(batch, None, centroids, scaler=scaler)
+        predicts, scores = infer(state, dist_b, batch, sigma=cfg.sigma)
+        cur = out[s:e, 0]
+        out[s:e] = redundancy_rows(scores, predicts, cur, cfg.n_mul)
+    return out
+
+
+def run_largescale(
+    cfg: Config,
+    bundle: DatasetBundle | None = None,
+    log_file=None,
+    use_cache: bool = True,
+) -> dict:
+    fw = log_file
+    if bundle is None:
+        bundle = load_data(cfg.dataset, data_path=cfg.data_path)
+    if bundle.groundtruth is None:
+        raise ValueError(f"Ground truth missing for dataset {cfg.dataset}")
+    x_d, x_q = bundle.base, bundle.query
+    n_d, dim = x_d.shape
+    n_bkt = cfg.n_bkt
+
+    # (1) training subset
+    nd_sub = max(1, int(n_d * cfg.subset_fraction))
+    rng = np.random.default_rng(cfg.seed)
+    sub_idx = rng.choice(n_d, size=nd_sub, replace=False)
+    x_sub = np.ascontiguousarray(x_d[sub_idx])
+    fprint(f">> subset: {nd_sub}/{n_d} rows for training", fw)
+
+    # (2) labels on the subset
+    sub_cfg = cfg
+    knn_sub = get_self_knn(x_sub, sub_cfg, use_cache=use_cache)
+    knn_query_sub = query_knn_on_subset(x_sub, x_q, cfg, use_cache=use_cache)
+
+    # (3) subset partitioning + model training
+    with stage_timer("build kmeans (subset)", fw):
+        km = kmeans_fit(x_sub, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed)
+        assign_sub = kmeans_assign(x_sub, km.centroids)
+    d2b_sub = np.full((nd_sub, cfg.n_mul), -1, dtype=np.int32)
+    d2b_sub[:, 0] = assign_sub
+    layout_sub = build_bucket_layout(d2b_sub, n_bkt)
+
+    labels_sub = knn_bucket_labels(knn_sub, d2b_sub, n_bkt)
+    labels_query_sub = knn_bucket_labels(knn_query_sub, d2b_sub, n_bkt)
+    gtb_sub = gt_bucket_map(knn_query_sub, d2b_sub)
+
+    with stage_timer("scaled distances (subset)", fw):
+        dist_sub, dist_q, scaler = scaled_centroid_distances(x_sub, x_q, km.centroids)
+        if cfg.pth_log and cfg.file_name:
+            scaler.save(cfg.pth_log, cfg.file_name)
+
+    state = make_train_state(cfg.seed, n_bkt, dim, lr=cfg.lr)
+    headers = ["Epoch", "Loss", "Accuracy", "Hit Rate", "nprobe predict",
+               "nprobe target", "KNN Recall", "KNN Computations"]
+    epoch_rows = []
+
+    def eval_epoch(epoch):
+        _, predicts, loss_test, outputs = evaluate(
+            state, dist_q, x_q, labels_query_sub, sigma=cfg.sigma, batch_size=cfg.batch_size
+        )
+        m = probing_metrics(
+            predicts, labels_query_sub, gtb_sub, layout_sub.sizes, cfg.k,
+            epoch=epoch, loss=round(loss_test, 4),
+        )
+        epoch_rows.append(m)
+        fprint(ascii_table(headers, [[m[h] for h in headers]]), fw)
+        return outputs
+
+    eval_epoch(-1)
+    for epoch in range(cfg.n_epoch):
+        state, loss_train = train_epoch(state, dist_sub, x_sub, labels_sub, batch_size=cfg.batch_size)
+        outputs = eval_epoch(epoch)
+
+    # (4) full-corpus assignment with the trained quantizer
+    with stage_timer("full corpus assignment", fw):
+        assign_full = kmeans_assign(x_d, km.centroids)
+    data_2_bkt = np.full((n_d, cfg.n_mul), -1, dtype=np.int32)
+    data_2_bkt[:, 0] = assign_full
+    layout = build_bucket_layout(data_2_bkt, n_bkt)
+
+    knn_query = bundle.groundtruth[:, : cfg.k]
+    gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
+
+    thresholds = np.arange(max(cfg.t_min, 0.1), 1.0, 0.05)
+    sweep_parts = []
+    with stage_timer("baseline scan + sweep (part 0)", fw):
+        corpus = BucketCorpus.build(x_d, layout)
+        found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+        hit = gt_hit_tensor(found, knn_query, gt_buckets)
+        sweep_parts.append(
+            threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+        )
+
+    # (5) full-corpus learning-based redundancy
+    with stage_timer("full-corpus redundancy", fw):
+        data_2_bkt = full_corpus_redundancy(x_d, data_2_bkt, km.centroids, scaler, state, cfg)
+        layout = build_bucket_layout(data_2_bkt, n_bkt)
+        gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
+
+    with stage_timer("redundant scan + sweep (part 1)", fw):
+        corpus = BucketCorpus.build(x_d, layout)
+        found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+        hit = gt_hit_tensor(found, knn_query, gt_buckets)
+        sweep_parts.append(
+            threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+        )
+
+    if cfg.pth_log and cfg.file_name:
+        os.makedirs(cfg.pth_log, exist_ok=True)
+        for part, rows in enumerate(sweep_parts):
+            sweep_to_csv(
+                rows,
+                os.path.join(
+                    cfg.pth_log, cfg.file_name + "_tuning_threshold", f"{cfg.duplicate_type}_{part}.csv"
+                ),
+            )
+        _epochs_to_csv(epoch_rows, os.path.join(cfg.pth_log, cfg.df_name))
+
+    return {
+        "epoch_rows": epoch_rows,
+        "state": state,
+        "kmeans": km,
+        "scaler": scaler,
+        "data_2_bkt": data_2_bkt,
+        "layout": layout,
+        "sweep_parts": sweep_parts,
+        "outputs": outputs,
+        "sub_idx": sub_idx,
+    }
+
+
+def main(argv=None):
+    from ..config import parse_config
+
+    cfg = parse_config(argv)
+    if cfg.n_epoch == 10:
+        cfg.n_epoch = 30  # large-scale default (reference: n_epoch=30, batch 512)
+    os.makedirs(cfg.pth_log, exist_ok=True)
+    with open(os.path.join(cfg.pth_log, cfg.log_name), "a", encoding="utf-8") as fw:
+        run_largescale(cfg, log_file=fw)
+        fprint("finish!", fw)
+
+
+if __name__ == "__main__":
+    main()

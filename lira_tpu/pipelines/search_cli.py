@@ -1,0 +1,101 @@
+"""Serving CLI: load exported artifacts, run the end-to-end threshold sweep.
+
+The TPU replacement for the reference's `search` C++ binary CLI
+(reference: search.cpp:18-82 flags, :413-549 sweep loop).  Loads the
+artifact contract written by build_index.py, reconstructs the engine, and
+prints per-threshold avg_recall / avg_nprobe / avg_cmp / per-query time /
+QPS.  `--n_shards` > 1 runs the mesh-sharded engine instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..engine.serve import QueryEngine
+from ..io.artifacts import load_index_artifacts
+from ..io.datasets import load_data
+from ..partition.assign import build_bucket_layout
+
+
+def run_search(
+    artifacts_dir: str,
+    prefix: str,
+    dataset: str,
+    data_path: str = "/data/vector_datasets",
+    k: int = 10,
+    t_min: float = 0.02,
+    t_max: float = 0.80,
+    t_step: float = 0.02,
+    n_shards: int = 1,
+    bundle=None,
+) -> list[dict]:
+    art = load_index_artifacts(artifacts_dir, prefix)
+    manifest = art["manifest"]
+    if bundle is None:
+        bundle = load_data(dataset, data_path=data_path)
+    if bundle.groundtruth is None:
+        raise ValueError("groundtruth required for the search sweep")
+    k = min(k, bundle.groundtruth.shape[1])
+
+    layout = build_bucket_layout(art["data_2_bkt"], manifest["n_bkt"])
+    if n_shards > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_engine import ShardedQueryEngine
+
+        engine = ShardedQueryEngine(
+            art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
+            make_mesh(n_shards), metric=manifest["metric"], n_mul=manifest["n_mul"],
+        )
+    else:
+        engine = QueryEngine(
+            art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
+            metric=manifest["metric"], n_mul=manifest["n_mul"],
+        )
+
+    thresholds = np.arange(t_min, t_max + 1e-6, t_step)
+    rows = []
+    n_q = len(bundle.query)
+    engine.search(bundle.query[: min(64, n_q)], float(thresholds[0]), k)  # warmup
+    for thr in thresholds:
+        res = engine.search(bundle.query, float(thr), k)
+        hits = (res.ids[:, :, None] == bundle.groundtruth[:, None, :k]).any(axis=1)
+        recall = hits.sum(axis=1) / float(k)
+        row = {
+            "threshold": float(thr),
+            "avg_recall": float(recall.mean()),
+            "avg_nprobe": float(res.nprobe.mean()),
+            "avg_cmp": float(res.ndis.mean()),
+            "avg_time": res.elapsed / n_q,
+            "qps": n_q / res.elapsed,
+        }
+        rows.append(row)
+        print(
+            f"threshold {row['threshold']:.3f}  recall {row['avg_recall']:.4f}  "
+            f"nprobe {row['avg_nprobe']:.2f}  cmp {row['avg_cmp']:.0f}  "
+            f"time/q {row['avg_time'] * 1e6:.1f}us  QPS {row['qps']:.0f}"
+        )
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data_path", default="/data/vector_datasets")
+    p.add_argument("--artifacts_dir", default=".")
+    p.add_argument("--prefix", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--t_min", type=float, default=0.02)
+    p.add_argument("--t_max", type=float, default=0.80)
+    p.add_argument("--t_step", type=float, default=0.02)
+    p.add_argument("--n_shards", type=int, default=1)
+    a = p.parse_args(argv)
+    run_search(
+        a.artifacts_dir, a.prefix, a.dataset, a.data_path, a.k,
+        a.t_min, a.t_max, a.t_step, a.n_shards,
+    )
+
+
+if __name__ == "__main__":
+    main()
