@@ -180,7 +180,17 @@ class QueryEngine:
     # ---------- probed-tile list construction ----------
 
     def _probe_tiles(self, probed: np.ndarray) -> np.ndarray:
-        """(B, T) padded tile-index lists for each query's probed buckets."""
+        """(B, T) padded tile-index lists for each query's probed buckets.
+
+        Uses the native OpenMP expander when built; numpy fallback below.
+        """
+        try:
+            from .. import native
+
+            if native.available():
+                return native.probe_tiles(probed, self.tile_start, self.tiles_per_bucket)
+        except Exception:
+            pass
         B = probed.shape[0]
         rows, bs = np.nonzero(probed)
         reps = self.tiles_per_bucket[bs]
