@@ -21,3 +21,20 @@ Layer map (mirrors SURVEY.md §1 capabilities, new architecture):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    Remote-compile environments (and TPU compiles generally) cost seconds to
+    minutes per program; the persistent cache makes every pipeline/benchmark
+    program compile once per machine.
+    """
+    import jax
+
+    path = path or _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")
+    _os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

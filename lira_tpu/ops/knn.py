@@ -81,10 +81,11 @@ def exact_knn(
     query: np.ndarray | jax.Array,
     k: int,
     metric: str = "L2",
-    q_tile: int = 1024,
-    b_tile: int = 65536,
+    q_tile: int = 4096,
+    b_tile: int = 131072,
     precision: str = "highest",
     verbose: bool = False,
+    score_budget: int = 1 << 29,  # max Q×C elements of the score tensor (2 GiB f32)
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN of `query` against `base`.
 
@@ -97,6 +98,8 @@ def exact_knn(
     k = min(k, n_b)
 
     b_tile = min(b_tile, _round_up(n_b, 128))
+    while q_tile * b_tile > score_budget and q_tile > 256:
+        q_tile //= 2
     n_pad = _round_up(n_b, b_tile)
     base_pad = jnp.zeros((n_pad, dim), dtype=jnp.float32)
     base_pad = base_pad.at[:n_b].set(jnp.asarray(base, dtype=jnp.float32))

@@ -28,6 +28,11 @@ def grouped_topk(scores: jax.Array, k: int, group: int = 128):
 
     scores: (Q, C) float32, smaller = better.  Pads C with +inf to a group
     multiple; rows must satisfy k ≤ C.
+
+    Groups are *strided*: group g = elements {g, g+G, g+2G, …}.  Reshaping
+    (Q, C) → (Q, group, G) keeps the reduced axis in sublanes and the group
+    axis in lanes — no layout transpose, unlike contiguous grouping, which
+    cost a full transposed copy of the score matrix on TPU.
     """
     q, c = scores.shape
     if c <= max(2 * group, k * 2):
@@ -37,17 +42,19 @@ def grouped_topk(scores: jax.Array, k: int, group: int = 128):
     pad = (-c) % group
     if pad:
         scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    g = scores.shape[1] // group
-    grouped = scores.reshape(q, g, group)
-    gmin = grouped.min(axis=-1)  # (Q, G)
+    cp = scores.shape[1]
+    g = cp // group  # number of groups (lane axis after reshape)
+    grouped = scores.reshape(q, group, g)  # element (i, j): index i*g + j
+    gmin = grouped.min(axis=1)  # (Q, G) — sublane reduce, no transpose
 
     k_groups = min(g, k + 2)
     _, gsel = jax.lax.top_k(-gmin, k_groups)  # groups holding the top-k (Q, k_groups)
 
-    # gather the selected groups' lanes and finish with a small exact top-k
-    sub = jnp.take_along_axis(grouped, gsel[:, :, None], axis=1)  # (Q, k_groups, group)
-    sub = sub.reshape(q, k_groups * group)
+    # gather the selected groups' columns and finish with a small exact top-k
+    sub = jnp.take_along_axis(grouped, gsel[:, None, :], axis=2)  # (Q, group, k_groups)
+    sub = sub.reshape(q, group * k_groups)
     neg, sel = jax.lax.top_k(-sub, k)
-    base = gsel[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+    # sub element (i, j) = grouped[:, i, gsel[j]] = original index i*g + gsel[j]
+    base = jnp.arange(group, dtype=jnp.int32)[None, :, None] * g + gsel[:, None, :]
     idx = jnp.take_along_axis(base.reshape(q, -1), sel, axis=1)
     return -neg, idx

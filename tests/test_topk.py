@@ -28,13 +28,18 @@ def test_grouped_topk_exact_indices_no_ties(rng):
 
 
 def test_grouped_topk_adversarial_grouping():
-    # all top-k in one group; far-away groups have low-but-not-lowest mins
+    # all top-k inside ONE strided group (indices ≡ 3 mod G); every other
+    # group gets a deceptively low (but not lowest) min
     c, k = 1024, 5
+    g = c // 128  # number of strided groups
     scores = np.full((1, c), 100.0, dtype=np.float32)
-    scores[0, 256:261] = [1, 2, 3, 4, 5]  # all 5 best inside one 128-group
-    scores[0, ::128] = 50  # every group has a deceptively low min
+    winners = 3 + g * np.arange(5)  # same strided group
+    scores[0, winners] = [1, 2, 3, 4, 5]
+    scores[0, :g] = 50  # one low element per group
+    scores[0, 3] = 1  # keep winner value
     vals, idx = grouped_topk(jnp.asarray(scores), k)
-    np.testing.assert_array_equal(np.sort(np.asarray(idx)[0]), np.arange(256, 261))
+    got = np.sort(np.asarray(idx)[0])
+    np.testing.assert_array_equal(got, winners)
 
 
 def test_grouped_topk_with_padding():
