@@ -1,10 +1,20 @@
 """Brute-force exact kNN, tiled for TPU.
 
 Replaces the reference's Faiss/OpenMP C++ self-kNN precompute tool
-(reference: compute_knn.cpp) with a streaming MXU formulation: the corpus
-is HBM-resident, query tiles stream through a lax.scan over corpus chunks,
-each chunk contributing a matmul-distance block whose per-row top-k is
-merged into a running top-k.  All shapes static → one compile per config.
+(reference: compute_knn.cpp) with a streaming MXU formulation.  The corpus
+is stored **transposed** (dim, n) in HBM so each chunk's score block comes
+out of the MXU directly in a (Q, 128, G) strided-group layout:
+
+  * group-min over the sublane axis (one VPU pass, no transpose) finds the
+    k+2 groups guaranteed to contain the exact top-k (see ops/topk.py for
+    the argument);
+  * the selected groups are extracted with a one-hot *matmul* instead of a
+    lane gather (TPU gathers are element-at-a-time; the MXU does the same
+    selection at full throughput);
+  * a small exact top-k finishes per chunk, and a (2k)-wide merge folds
+    chunks into the running result.
+
+All shapes static → one compile per (q_tile, b_tile, k, metric, precision).
 """
 
 from __future__ import annotations
@@ -16,51 +26,74 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .topk import grouped_topk
-
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _chunk_topk3(scores3: jax.Array, k: int):
+    """Exact smallest-k of each row of a (Q, S, G) strided-group score block.
+
+    Element (q, i, j) is chunk-local index i*G + j.  Returns (neg_vals, idx)
+    with neg_vals = -score (descending = closer first).
+    """
+    q, s, g = scores3.shape
+    gmin = scores3.min(axis=1)  # (Q, G) sublane reduce
+    k_groups = min(g, k + 2)
+    _, gsel = jax.lax.top_k(-gmin, k_groups)  # (Q, kg) groups holding the top-k
+
+    # one-hot matmul extraction: sub[q, i, j] = scores3[q, i, gsel[q, j]]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (q, g, k_groups), 1)
+    onehot = (iota_g == gsel[:, None, :]).astype(scores3.dtype)  # (Q, G, kg)
+    sub = jax.lax.dot_general(
+        scores3, onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Q, S, kg)
+    neg, sel = jax.lax.top_k(-sub.reshape(q, s * k_groups), k)
+    # sub element (i, j) -> chunk-local index i*G + gsel[q, j]
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (q, s, k_groups), 1) * g
+        + gsel[:, None, :]
+    ).reshape(q, s * k_groups)
+    idx = jnp.take_along_axis(base, sel, axis=1)
+    return neg, idx
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "b_tile", "precision"))
 def _knn_query_tile(
     q: jax.Array,  # (Q, d) query tile
-    base: jax.Array,  # (n_pad, d) padded corpus
-    pad_penalty: jax.Array,  # (n_pad,) 0 for real rows, +inf for padding
+    base_t: jax.Array,  # (d, n_pad) transposed padded corpus
+    base_sq: jax.Array,  # (n_pad,) row norms (or 0) + padding penalty (+inf)
     k: int,
     metric: str,
     b_tile: int,
     precision: str,
 ):
     """Running top-k of one query tile against the whole (padded) corpus."""
-    n_pad = base.shape[0]
+    n_pad = base_t.shape[1]
     n_chunks = n_pad // b_tile
-
-    if metric != "inner_product":
-        base_sq = jnp.sum(base.astype(jnp.float32) * base, axis=1) + pad_penalty
-    else:
-        base_sq = pad_penalty
+    sub = 128  # sublane group height; G = b_tile // sub strided groups
+    g = b_tile // sub
 
     q32 = q.astype(jnp.float32)
 
     def body(carry, i):
         best_neg, best_idx = carry
-        chunk = jax.lax.dynamic_slice_in_dim(base, i * b_tile, b_tile)
-        chunk_extra = jax.lax.dynamic_slice_in_dim(base_sq, i * b_tile, b_tile)
+        chunk = jax.lax.dynamic_slice_in_dim(base_t, i * b_tile, b_tile, axis=1)
+        chunk_sq = jax.lax.dynamic_slice_in_dim(base_sq, i * b_tile, b_tile)
         dot = jax.lax.dot_general(
             q32,
-            chunk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            chunk.reshape(chunk.shape[0], sub, g),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             precision=precision,
             preferred_element_type=jnp.float32,
-        )
+        )  # (Q, sub, G)
         if metric == "inner_product":
-            score = -dot + chunk_extra
+            score3 = -dot + chunk_sq.reshape(sub, g)[None]
         else:
-            score = chunk_extra - 2.0 * dot
-        vals, idx = grouped_topk(score, k)  # exact per-chunk top-k, ascending
-        neg = -vals
+            score3 = chunk_sq.reshape(sub, g)[None] - 2.0 * dot
+        neg, idx = _chunk_topk3(score3, k)
         idx = idx + i * b_tile
         merged_neg = jnp.concatenate([best_neg, neg], axis=1)
         merged_idx = jnp.concatenate([best_idx, idx], axis=1)
@@ -76,6 +109,26 @@ def _knn_query_tile(
     return -best_neg, best_idx
 
 
+def _prepare_corpus(base, metric: str, b_tile: int):
+    """Device-resident transposed corpus + norm/penalty vector."""
+    n_b, dim = base.shape
+    b_tile = min(b_tile, _round_up(n_b, 128))
+    n_pad = _round_up(n_b, b_tile)
+    base = jnp.asarray(base, dtype=jnp.float32)
+    base_t = jnp.zeros((dim, n_pad), dtype=jnp.float32).at[:, :n_b].set(base.T)
+    # large *finite* penalty: +inf would become NaN through the one-hot
+    # matmul extraction (inf × 0) in _chunk_topk3
+    penalty = jnp.where(jnp.arange(n_pad) < n_b, 0.0, 1e30).astype(jnp.float32)
+    if metric == "inner_product":
+        base_sq = penalty
+    else:
+        base_sq = jnp.sum(base * base, axis=1)
+        base_sq = jnp.concatenate(
+            [base_sq, jnp.zeros(n_pad - n_b, jnp.float32)]
+        ) + penalty
+    return base_t, base_sq, b_tile
+
+
 def exact_knn(
     base: np.ndarray | jax.Array,
     query: np.ndarray | jax.Array,
@@ -85,25 +138,21 @@ def exact_knn(
     b_tile: int = 131072,
     precision: str = "highest",
     verbose: bool = False,
-    score_budget: int = 1 << 29,  # max Q×C elements of the score tensor (2 GiB f32)
+    score_budget: int = 1 << 29,  # max Q×C score elements in flight (2 GiB f32)
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN of `query` against `base`.
 
     Returns (scores, ids): scores are ranking scores (L2² minus the per-query
-    norm, or −IP), ids are int32 indices into `base`.  Ties broken by index
-    order within each corpus chunk, matching a stable argsort per chunk.
+    norm, or −IP), ids int32 into `base`.  Ties may reorder between exactly
+    equal scores (group selection is exact on values).
     """
     n_b, dim = base.shape
     n_q = query.shape[0]
     k = min(k, n_b)
 
-    b_tile = min(b_tile, _round_up(n_b, 128))
     while q_tile * b_tile > score_budget and q_tile > 256:
         q_tile //= 2
-    n_pad = _round_up(n_b, b_tile)
-    base_pad = jnp.zeros((n_pad, dim), dtype=jnp.float32)
-    base_pad = base_pad.at[:n_b].set(jnp.asarray(base, dtype=jnp.float32))
-    penalty = jnp.where(jnp.arange(n_pad) < n_b, 0.0, jnp.inf).astype(jnp.float32)
+    base_t, base_sq, b_tile = _prepare_corpus(base, metric, b_tile)
 
     out_scores = np.empty((n_q, k), dtype=np.float32)
     out_ids = np.empty((n_q, k), dtype=np.int32)
@@ -115,9 +164,7 @@ def exact_knn(
         s, e = t * q_tile, min((t + 1) * q_tile, n_q)
         qt = np.zeros((q_tile, dim), dtype=np.float32)
         qt[: e - s] = query[s:e]
-        sc, ids = _knn_query_tile(
-            jnp.asarray(qt), base_pad, penalty, k, metric, b_tile, precision
-        )
+        sc, ids = _knn_query_tile(jnp.asarray(qt), base_t, base_sq, k, metric, b_tile, precision)
         out_scores[s:e] = np.asarray(sc[: e - s])
         out_ids[s:e] = np.asarray(ids[: e - s])
         if verbose and (t % 10 == 0 or t == n_tiles - 1):
@@ -129,8 +176,8 @@ def self_knn(
     base: np.ndarray | jax.Array,
     k: int,
     metric: str = "L2",
-    q_tile: int = 1024,
-    b_tile: int = 65536,
+    q_tile: int = 4096,
+    b_tile: int = 131072,
     precision: str = "highest",
     verbose: bool = False,
 ) -> np.ndarray:
