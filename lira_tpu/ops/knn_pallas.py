@@ -1,0 +1,209 @@
+"""Fused two-round exact kNN: Pallas group-min sweep + tile rescan.
+
+The XLA brute-force path (ops/knn.py) is bound by materializing the
+(Q, n) score matrix in HBM (written + read twice per corpus pass).  This
+module never materializes it:
+
+  Round 1 — Pallas kernel: stream corpus chunks through VMEM, compute the
+  MXU distance block, and emit only the per-128-row-group minimum
+  (group = corpus tile).  Output is (Q, n/128) — 128× smaller than scores.
+  Any group containing a true top-k element has group-min ≤ the k-th best
+  value, and at most k groups can — so the top-(k+margin) groups by min
+  contain the exact answer (see ops/topk.py).
+
+  Round 2 — XLA: gather the selected groups as whole 128-row tiles
+  (tile-granular gathers run at full HBM bandwidth, unlike row gathers),
+  recompute their scores at high precision, exact top-k.
+
+Round 1 may run the matmul at bf16 input precision ("fast" mode): the
+selection margin absorbs bf16 rounding of the group mins, and round 2
+re-ranks at f32 — misses are possible only when > margin groups have
+bf16-mins within rounding error of the k-th value.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision):
+    """One (q_block × corpus-chunk) step: distance block → per-tile min."""
+    dot = jax.lax.dot_general(
+        q_ref[...], chunk_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )  # (QB, CB)
+    qb, cb = dot.shape
+    scores = bsq_ref[...].reshape(cb)[None, :] - 2.0 * dot
+    out_ref[...] = scores.reshape(qb, cb // 128, 128).min(axis=-1)
+
+
+def _groupmin_ip_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision):
+    dot = jax.lax.dot_general(
+        q_ref[...], chunk_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    qb, cb = dot.shape
+    scores = bsq_ref[...].reshape(cb)[None, :] - dot
+    out_ref[...] = scores.reshape(qb, cb // 128, 128).min(axis=-1)
+
+
+@partial(jax.jit, static_argnames=("metric", "kg", "q_block", "c_block", "precision", "interpret"))
+def _round1_select(
+    q: jax.Array,  # (Q, d)
+    base: jax.Array,  # (n_pad, d)
+    base_sq: jax.Array,  # (n_groups, 128) norms (or penalty)
+    metric: str,
+    kg: int,
+    q_block: int = 512,
+    c_block: int = 2048,
+    precision: str = "default",
+    interpret: bool = False,
+) -> jax.Array:
+    """(Q, kg) int32 — per query, the kg tiles guaranteed* to hold its top-k."""
+    Q, d = q.shape
+    n_pad = base.shape[0]
+    n_groups = n_pad // 128
+    kernel = _groupmin_ip_kernel if metric == "inner_product" else _groupmin_kernel
+
+    gmin = pl.pallas_call(
+        partial(kernel, precision=precision),
+        grid=(Q // q_block, n_pad // c_block),
+        in_specs=[
+            pl.BlockSpec((q_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block // 128, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_block, c_block // 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Q, n_groups), jnp.float32),
+        interpret=interpret,
+    )(q, base, base_sq)
+
+    _, gsel = jax.lax.top_k(-gmin, min(kg, n_groups))
+    return gsel.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "sub"))
+def _round2_rescan(
+    q: jax.Array,  # (Q, d)
+    gsel: jax.Array,  # (Q, kg) tile ids
+    tiles: jax.Array,  # (n_tiles, 128, d)
+    tiles_sq: jax.Array,  # (n_tiles, 128)
+    metric: str,
+    k: int,
+    sub: int = 1024,
+):
+    """Exact top-k among the selected tiles' members (full f32)."""
+    Q, kg = gsel.shape
+
+    def body(args):
+        qs, sel = args  # (sub, d), (sub, kg)
+        vec = tiles[sel]  # (sub, kg, 128, d) tile-granular gather
+        dot = jnp.einsum("stgd,sd->stg", vec, qs, preferred_element_type=jnp.float32)
+        sq = tiles_sq[sel]  # (sub, kg, 128)
+        score = sq - dot if metric == "inner_product" else sq - 2.0 * dot
+        flat = score.reshape(qs.shape[0], kg * 128)
+        neg, pos = jax.lax.top_k(-flat, k)
+        gids = (sel[:, :, None] * 128 + jnp.arange(128, dtype=jnp.int32)).reshape(
+            qs.shape[0], kg * 128
+        )
+        ids = jnp.take_along_axis(gids, pos, axis=1)
+        return -neg, ids
+
+    n_sub = Q // sub
+    scores, ids = jax.lax.map(
+        body, (q.reshape(n_sub, sub, -1), gsel.reshape(n_sub, sub, kg))
+    )
+    return scores.reshape(Q, k), ids.reshape(Q, k)
+
+
+def _auto_interpret() -> bool:
+    """Pallas compiles natively on TPU; elsewhere run the interpreter."""
+    return jax.default_backend() != "tpu"
+
+
+def knn_fused(
+    base,  # (n, d) host or device
+    query,  # (nq, d) host or device; may alias base for self-kNN
+    k: int,
+    metric: str = "L2",
+    q_tile: int = 8192,
+    margin: int = 8,
+    precision: str = "default",
+    interpret: bool | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-round kNN. Returns (scores, ids) ranking scores as ops.knn.exact_knn.
+
+    `precision="default"` runs the round-1 sweep at bf16 input precision
+    (round 2 re-ranks at f32); use "highest" for fully-f32 selection.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    base = jnp.asarray(base, jnp.float32)
+    n, d = base.shape
+    n_pad = ((n + 2047) // 2048) * 2048
+    if n_pad != n:
+        base_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(base)
+    else:
+        base_p = base
+    penalty = jnp.where(jnp.arange(n_pad) < n, 0.0, 1e30).astype(jnp.float32)
+    if metric == "inner_product":
+        bsq = penalty
+    else:
+        bsq = jnp.concatenate([jnp.sum(base * base, axis=1), jnp.zeros(n_pad - n)]).astype(
+            jnp.float32
+        ) + penalty
+    bsq_g = bsq.reshape(n_pad // 128, 128)
+    tiles = base_p.reshape(n_pad // 128, 128, d)
+
+    kg = min(k + margin, n_pad // 128)
+    query = jnp.asarray(query, jnp.float32)
+    nq = query.shape[0]
+    q_tile = min(q_tile, max(512, nq))
+    q_tile = ((q_tile + 511) // 512) * 512
+
+    out_s, out_i = [], []
+    for s in range(0, nq, q_tile):
+        e = min(s + q_tile, nq)
+        qt = jnp.zeros((q_tile, d), jnp.float32).at[: e - s].set(query[s:e])
+        gsel = _round1_select(
+            qt, base_p, bsq_g, metric, kg, precision=precision, interpret=interpret
+        )
+        sc, ids = _round2_rescan(qt, gsel, tiles, bsq_g, metric, min(k, n), sub=min(512, q_tile))
+        out_s.append(sc[: e - s])
+        out_i.append(ids[: e - s])
+    scores = np.asarray(jnp.concatenate(out_s))
+    ids = np.asarray(jnp.concatenate(out_i))
+    ids = np.where(ids < n, ids, -1)
+    return scores, ids
+
+
+def self_knn_fused(
+    base, k: int, metric: str = "L2", q_tile: int = 8192,
+    margin: int = 8, precision: str = "default", interpret: bool | None = None,
+) -> np.ndarray:
+    """Self-kNN via the fused path; same contract as ops.knn.self_knn."""
+    n = base.shape[0]
+    _, ids = knn_fused(
+        base, base, k + 1, metric=metric, q_tile=q_tile, margin=margin,
+        precision=precision, interpret=interpret,
+    )
+    rows = np.arange(n)[:, None]
+    is_self = ids == rows
+    has_self = is_self.any(axis=1)
+    drop_col = np.where(has_self, is_self.argmax(axis=1), k)
+    keep = np.ones_like(ids, dtype=bool)
+    keep[rows[:, 0], drop_col] = False
+    return ids[keep].reshape(n, k).astype(np.int32)

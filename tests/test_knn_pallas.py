@@ -1,0 +1,52 @@
+import numpy as np
+import pytest
+from scipy.spatial.distance import cdist
+
+from lira_tpu.ops.knn_pallas import knn_fused, self_knn_fused
+
+
+def test_knn_fused_matches_oracle(rng):
+    base = rng.normal(size=(3000, 16)).astype(np.float32)
+    query = rng.normal(size=(50, 16)).astype(np.float32)
+    _, ids = knn_fused(base, query, k=5, interpret=True, precision="highest")
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(ids, expected)
+
+
+def test_knn_fused_ip(rng):
+    base = rng.normal(size=(2100, 8)).astype(np.float32)
+    query = rng.normal(size=(20, 8)).astype(np.float32)
+    _, ids = knn_fused(base, query, k=4, metric="inner_product", interpret=True, precision="highest")
+    expected = np.argsort(-(query @ base.T), axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(ids, expected)
+
+
+def test_knn_fused_unpadded(rng):
+    # n not a multiple of the 2048 chunk; padding must not leak
+    base = rng.normal(size=(2500, 12)).astype(np.float32)
+    query = rng.normal(size=(9, 12)).astype(np.float32)
+    _, ids = knn_fused(base, query, k=3, interpret=True, precision="highest")
+    assert ids.max() < 2500
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :3]
+    np.testing.assert_array_equal(ids, expected)
+
+
+def test_self_knn_fused(rng):
+    base = rng.normal(size=(2048, 8)).astype(np.float32)
+    knn = self_knn_fused(base, k=4, interpret=True, precision="highest")
+    d = cdist(base, base, metric="sqeuclidean")
+    np.fill_diagonal(d, np.inf)
+    expected = np.argsort(d, axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(knn, expected)
+
+
+def test_knn_fused_adversarial_tile_concentration(rng):
+    # all true top-k inside a single tile: group-selection must keep it
+    base = rng.normal(size=(4096, 8)).astype(np.float32) * 100
+    query = np.zeros((8, 8), dtype=np.float32)
+    base[256:266] = rng.normal(size=(10, 8)) * 0.01  # 10 closest, one tile
+    _, ids = knn_fused(base, query, k=10, interpret=True, precision="highest")
+    for b in range(8):
+        assert set(ids[b]) == set(range(256, 266))
