@@ -33,8 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision):
-    """One (q_block × corpus-chunk) step: distance block → per-tile min."""
+def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision, metric):
+    """One (q_block × corpus-chunk) step: distance block → per-tile min.
+
+    The output block is (q_block, 128) — 8 consecutive chunk steps share it
+    (TPU requires ≥128-lane output blocks), each writing its 16-group slice.
+    """
+    j = pl.program_id(1)
     dot = jax.lax.dot_general(
         q_ref[...], chunk_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -42,20 +47,12 @@ def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision):
         preferred_element_type=jnp.float32,
     )  # (QB, CB)
     qb, cb = dot.shape
-    scores = bsq_ref[...].reshape(cb)[None, :] - 2.0 * dot
-    out_ref[...] = scores.reshape(qb, cb // 128, 128).min(axis=-1)
-
-
-def _groupmin_ip_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision):
-    dot = jax.lax.dot_general(
-        q_ref[...], chunk_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    qb, cb = dot.shape
-    scores = bsq_ref[...].reshape(cb)[None, :] - dot
-    out_ref[...] = scores.reshape(qb, cb // 128, 128).min(axis=-1)
+    if metric == "inner_product":
+        scores = bsq_ref[...].reshape(cb)[None, :] - dot
+    else:
+        scores = bsq_ref[...].reshape(cb)[None, :] - 2.0 * dot
+    gmin = scores.reshape(qb, cb // 128, 128).min(axis=-1)  # (QB, 16)
+    out_ref[:, pl.ds(jax.lax.rem(j, 8) * (cb // 128), cb // 128)] = gmin
 
 
 @partial(jax.jit, static_argnames=("metric", "kg", "q_block", "c_block", "precision", "interpret"))
@@ -74,10 +71,10 @@ def _round1_select(
     Q, d = q.shape
     n_pad = base.shape[0]
     n_groups = n_pad // 128
-    kernel = _groupmin_ip_kernel if metric == "inner_product" else _groupmin_kernel
+    assert n_pad % (8 * c_block) == 0, "corpus must pad to 8 chunk blocks"
 
     gmin = pl.pallas_call(
-        partial(kernel, precision=precision),
+        partial(_groupmin_kernel, precision=precision, metric=metric),
         grid=(Q // q_block, n_pad // c_block),
         in_specs=[
             pl.BlockSpec((q_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -85,7 +82,8 @@ def _round1_select(
             pl.BlockSpec((c_block // 128, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (q_block, c_block // 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            # one (q_block, 128) output block per 8 chunk steps
+            (q_block, 128), lambda i, j: (i, j // 8), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Q, n_groups), jnp.float32),
         interpret=interpret,
@@ -153,7 +151,7 @@ def knn_fused(
         interpret = _auto_interpret()
     base = jnp.asarray(base, jnp.float32)
     n, d = base.shape
-    n_pad = ((n + 2047) // 2048) * 2048
+    n_pad = ((n + 16383) // 16384) * 16384  # 8 × c_block for the output blocking
     if n_pad != n:
         base_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(base)
     else:
