@@ -134,9 +134,11 @@ class QueryEngine:
         metric: str = "L2",
         tile: int | None = None,
         n_mul: int = 2,
+        scan_impl: str = "xla",  # 'xla' | 'pallas'
     ):
         self.metric = metric
         self.n_mul = max(1, n_mul)
+        self.scan_impl = scan_impl
         self.tile = tile or layout.tile
         self.layout = layout
         x_d = np.asarray(x_d, dtype=np.float32)
@@ -223,10 +225,20 @@ class QueryEngine:
         probed = self.select_buckets(outputs, threshold)
         tiles = self._probe_tiles(probed)
         # scan with n_mul × k slots so replicas can be deduplicated to k distinct
-        scores, ids = _scan_probed_tiles(
-            q, jnp.asarray(tiles), self.corpus, self.corpus_ids, self.corpus_sq,
-            k * self.n_mul, self.metric,
-        )
+        if self.scan_impl == "pallas":
+            from .pallas_scan import pallas_probed_scan
+
+            scores, ids = pallas_probed_scan(
+                q, jnp.asarray(tiles), self.corpus, self.corpus_ids,
+                jnp.where(jnp.isfinite(self.corpus_sq), self.corpus_sq, 3e38),
+                k * self.n_mul, self.metric,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            scores, ids = _scan_probed_tiles(
+                q, jnp.asarray(tiles), self.corpus, self.corpus_ids, self.corpus_sq,
+                k * self.n_mul, self.metric,
+            )
         ids, scores = _dedup_topk(np.asarray(ids), np.asarray(scores), k)
         elapsed = time.perf_counter() - t0
         return SearchResult(

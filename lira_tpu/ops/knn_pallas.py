@@ -36,10 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision, metric):
     """One (q_block × corpus-chunk) step: distance block → per-tile min.
 
-    The output block is (q_block, 128) — 8 consecutive chunk steps share it
-    (TPU requires ≥128-lane output blocks), each writing its 16-group slice.
+    The group-min matrix is emitted *transposed* — (n_groups, Q) — so each
+    step's (16, q_block) output block satisfies the TPU (8, 128) block
+    alignment (a (q_block, 16) block would put 16 in the lane dimension).
     """
-    j = pl.program_id(1)
     dot = jax.lax.dot_general(
         q_ref[...], chunk_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -52,7 +52,7 @@ def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision, metric):
     else:
         scores = bsq_ref[...].reshape(cb)[None, :] - 2.0 * dot
     gmin = scores.reshape(qb, cb // 128, 128).min(axis=-1)  # (QB, 16)
-    out_ref[:, pl.ds(jax.lax.rem(j, 8) * (cb // 128), cb // 128)] = gmin
+    out_ref[...] = gmin.T
 
 
 @partial(jax.jit, static_argnames=("metric", "kg", "q_block", "c_block", "precision", "interpret"))
@@ -71,9 +71,8 @@ def _round1_select(
     Q, d = q.shape
     n_pad = base.shape[0]
     n_groups = n_pad // 128
-    assert n_pad % (8 * c_block) == 0, "corpus must pad to 8 chunk blocks"
 
-    gmin = pl.pallas_call(
+    gmin_t = pl.pallas_call(
         partial(_groupmin_kernel, precision=precision, metric=metric),
         grid=(Q // q_block, n_pad // c_block),
         in_specs=[
@@ -82,14 +81,13 @@ def _round1_select(
             pl.BlockSpec((c_block // 128, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            # one (q_block, 128) output block per 8 chunk steps
-            (q_block, 128), lambda i, j: (i, j // 8), memory_space=pltpu.VMEM
+            (c_block // 128, q_block), lambda i, j: (j, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Q, n_groups), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_groups, Q), jnp.float32),
         interpret=interpret,
     )(q, base, base_sq)
 
-    _, gsel = jax.lax.top_k(-gmin, min(kg, n_groups))
+    _, gsel = jax.lax.top_k(-gmin_t.T, min(kg, n_groups))
     return gsel.astype(jnp.int32)
 
 
@@ -151,7 +149,7 @@ def knn_fused(
         interpret = _auto_interpret()
     base = jnp.asarray(base, jnp.float32)
     n, d = base.shape
-    n_pad = ((n + 16383) // 16384) * 16384  # 8 × c_block for the output blocking
+    n_pad = ((n + 2047) // 2048) * 2048  # round-1 chunk size
     if n_pad != n:
         base_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(base)
     else:

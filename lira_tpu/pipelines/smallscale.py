@@ -42,13 +42,23 @@ from ..redundancy.assign import apply_redundancy, select_top_ratio
 
 def get_self_knn(x_d: np.ndarray, cfg: Config, use_cache: bool = True) -> np.ndarray:
     """3-tier self-kNN provider: cache hit or TPU brute-force + cache write
-    (reference: utils.py:223-319 + compute_knn.cpp)."""
+    (reference: utils.py:223-319 + compute_knn.cpp).
+
+    On TPU the fused two-round Pallas path is used (no score
+    materialization); elsewhere the XLA streaming kernel."""
     if use_cache and cfg.dataset:
         cached = load_knn_cache(cfg.data_path, cfg.dataset, cfg.k, len(x_d))
         if cached is not None:
             return cached
     t0 = time.perf_counter()
-    knn = self_knn(x_d, cfg.k, metric=cfg.dis_metric)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from ..ops.knn_pallas import self_knn_fused
+
+        knn = self_knn_fused(x_d, cfg.k, metric=cfg.dis_metric)
+    else:
+        knn = self_knn(x_d, cfg.k, metric=cfg.dis_metric)
     elapsed = time.perf_counter() - t0
     if use_cache and cfg.dataset:
         try:
