@@ -1,10 +1,16 @@
 """Benchmark: exact self-kNN build on a SIFT1M-scale corpus (1M × 128, k=10).
 
 Reference baseline: the `compute_knn` C++/Faiss tool needs ~8 s on SIFT1M
-with AVX-512 (its best published number, and that is *approximate* IVF
-search at nprobe=64; ~45 s scalar) — see BASELINE.md / SIMD_OPTIMIZATION.md
-timings.  We run the *exact* brute-force kNN on one TPU chip via the tiled
-MXU distance + streaming top-k kernel (lira_tpu/ops/knn.py).
+with AVX-512 — its best published number, and that is *approximate* IVF
+search at nprobe=64 (~45 s scalar); see BASELINE.md / SIMD_OPTIMIZATION.md.
+We run an **exact** brute-force kNN on one TPU chip via the fused two-round
+path (Pallas group-min sweep + tile rescan, lira_tpu/ops/knn_pallas.py):
+round 1 screens every corpus tile at bf16 matmul precision without
+materializing scores; round 2 re-ranks the surviving tiles at f32.
+
+The corpus is generated on-device (clustered, SIFT-like scale) so the
+benchmark measures the kernel, not the host↔device link.  Result quality is
+spot-checked against a numpy oracle before reporting.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 8.0/seconds}
@@ -18,45 +24,74 @@ import numpy as np
 
 
 def log(*a):
-    print(*a, file=sys.stderr)
+    print(*a, file=sys.stderr, flush=True)
 
 
 def main():
+    import lira_tpu
+
+    lira_tpu.enable_compilation_cache()
     import jax
+    import jax.numpy as jnp
 
-    from lira_tpu.ops.knn import exact_knn
+    from lira_tpu.ops.knn_pallas import _round1_select, _round2_rescan
 
-    n, dim, k = 1_000_000, 128, 10
-    rng = np.random.default_rng(43)
-    # clustered corpus (SIFT-like value range)
-    centers = rng.normal(scale=40.0, size=(1024, dim)).astype(np.float32)
-    assign = rng.integers(0, 1024, size=n)
-    base = (centers[assign] + rng.normal(scale=12.0, size=(n, dim))).astype(np.float32)
-    log(f"corpus: {base.shape}, device: {jax.devices()[0]}")
+    n, d, k = 1_000_000, 128, 10
+    n_pad = ((n + 2047) // 2048) * 2048
+    q_tile, kg = 8192, 10 + 9  # k+1 search with margin 8
 
-    q_tile, b_tile = 4096, 262144
+    key = jax.random.PRNGKey(43)
+    kc, kb, ka = jax.random.split(key, 3)
+    centers = jax.random.normal(kc, (1024, d)) * 40.0
+    assign = jax.random.randint(ka, (n_pad,), 0, 1024)
+    base = (centers[assign] + jax.random.normal(kb, (n_pad, d)) * 12.0).astype(jnp.float32)
+    penalty = jnp.where(jnp.arange(n_pad) < n, 0.0, 1e30).astype(jnp.float32)
+    bsq = (jnp.sum(base * base, axis=1) + penalty).astype(jnp.float32)
+    bsq_g = bsq.reshape(n_pad // 128, 128)
+    tiles = base.reshape(n_pad // 128, 128, d)
+    jax.block_until_ready(base)
+    log(f"corpus ready on {jax.devices()[0]}")
 
-    # warmup / compile on a single query tile
+    interp = jax.default_backend() != "tpu"
+
+    def one_tile(start):
+        qs = jax.lax.dynamic_slice_in_dim(base, start, q_tile)
+        gsel = _round1_select(qs, base, bsq_g, "L2", kg, precision="default", interpret=interp)
+        return _round2_rescan(qs, gsel, tiles, bsq_g, "L2", k + 1, sub=512)
+
+    # warmup / compile
     t0 = time.perf_counter()
-    exact_knn(base, base[:q_tile], k + 1, q_tile=q_tile, b_tile=b_tile)
+    jax.block_until_ready(one_tile(0))
     log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    _, ids = exact_knn(base, base, k + 1, q_tile=q_tile, b_tile=b_tile)
+    ids_parts = []
+    for s in range(0, n_pad, q_tile):
+        _, ids = one_tile(s)
+        ids_parts.append(ids)
+    all_ids = jnp.concatenate(ids_parts)
+    jax.block_until_ready(all_ids)
     elapsed = time.perf_counter() - t0
-    log(f"exact self-kNN 1M x 1M x {dim}: {elapsed:.2f}s")
+    log(f"exact self-kNN 1M×1M×{d}: {elapsed:.2f}s on device")
 
-    # correctness spot check on 100 random rows vs numpy oracle
-    sample = rng.integers(0, n, size=64)
-    d = ((base[sample][:, None, :] - base[None, :131072, :]) ** 2).sum(-1)
-    # only validate rows whose true NN lies in the checked slice
-    approx_ok = True
-    for i, s in enumerate(sample):
-        cand = set(int(v) for v in ids[s] if v < 131072)
-        true_top = set(np.argsort(d[i], kind="stable")[:3].tolist())
-        if not (true_top & (cand | {int(s)})):
-            approx_ok = False
-    log(f"spot check: {'ok' if approx_ok else 'FAILED'}")
+    # strip self + correctness spot check against a numpy oracle slice
+    sample_ids = np.asarray(all_ids[:4096])
+    base_head = np.asarray(base[:65536])
+    rng = np.random.default_rng(0)
+    ok = 0
+    checked = 0
+    for i in rng.integers(0, 4096, size=32):
+        dd = ((base_head - base_head[i]) ** 2).sum(1)
+        dd[i] = np.inf
+        true_nn = int(np.argmin(dd))
+        got = [g for g in sample_ids[i] if g != i]
+        # only decidable when the true global NN is inside the checked slice
+        if dd[true_nn] <= 0.25 * np.median(dd):
+            checked += 1
+            ok += true_nn in got
+    log(f"spot check: {ok}/{checked} nearest-neighbor hits")
+    if checked and ok < checked * 0.9:
+        log("WARNING: spot check below threshold")
 
     print(
         json.dumps(
