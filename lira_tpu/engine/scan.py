@@ -62,7 +62,7 @@ class BucketCorpus:
 @partial(jax.jit, static_argnames=("k", "metric"))
 def _class_topk(q: jax.Array, vecs: jax.Array, ids: jax.Array, k: int, metric: str):
     """(Q, d) × (C, S, d) → per-bucket top-k scores and global ids."""
-    dot = jnp.einsum("qd,csd->qcs", q, vecs, preferred_element_type=jnp.float32)
+    dot = jnp.einsum("qd,csd->qcs", q, vecs, precision="highest", preferred_element_type=jnp.float32)
     invalid = ids < 0  # (C, S)
     if metric == "inner_product":
         score = -dot

@@ -55,7 +55,7 @@ def _scan_probed_tiles(
         safe = jnp.maximum(idx, 0)
         vec = corpus[safe]  # (B, 128, d)
         ids = corpus_ids[safe]  # (B, 128)
-        dot = jnp.einsum("bd,brd->br", q, vec, preferred_element_type=jnp.float32)
+        dot = jnp.einsum("bd,brd->br", q, vec, precision="highest", preferred_element_type=jnp.float32)
         if metric == "inner_product":
             score = -dot
         else:

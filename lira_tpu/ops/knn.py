@@ -42,12 +42,15 @@ def _chunk_topk3(scores3: jax.Array, k: int):
     k_groups = min(g, k + 2)
     _, gsel = jax.lax.top_k(-gmin, k_groups)  # (Q, kg) groups holding the top-k
 
-    # one-hot matmul extraction: sub[q, i, j] = scores3[q, i, gsel[q, j]]
+    # one-hot matmul extraction: sub[q, i, j] = scores3[q, i, gsel[q, j]].
+    # precision must be full f32 — bf16 inputs would round the extracted
+    # score *values* and corrupt the final ranking.
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (q, g, k_groups), 1)
     onehot = (iota_g == gsel[:, None, :]).astype(scores3.dtype)  # (Q, G, kg)
     sub = jax.lax.dot_general(
         scores3, onehot,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision="highest",
         preferred_element_type=jnp.float32,
     )  # (Q, S, kg)
     neg, sel = jax.lax.top_k(-sub.reshape(q, s * k_groups), k)

@@ -107,7 +107,10 @@ def _round2_rescan(
     def body(args):
         qs, sel = args  # (sub, d), (sub, kg)
         vec = tiles[sel]  # (sub, kg, 128, d) tile-granular gather
-        dot = jnp.einsum("stgd,sd->stg", vec, qs, preferred_element_type=jnp.float32)
+        dot = jnp.einsum(
+            "stgd,sd->stg", vec, qs,
+            precision="highest", preferred_element_type=jnp.float32,
+        )
         sq = tiles_sq[sel]  # (sub, kg, 128)
         score = sq - dot if metric == "inner_product" else sq - 2.0 * dot
         flat = score.reshape(qs.shape[0], kg * 128)

@@ -50,7 +50,7 @@ def _local_scan(q, tile_idx, corpus, corpus_ids, corpus_sq, k: int, metric: str,
         safe = jnp.maximum(idx, 0)
         vec = corpus[safe]
         ids = corpus_ids[safe]
-        dot = jnp.einsum("bd,brd->br", q, vec, preferred_element_type=jnp.float32)
+        dot = jnp.einsum("bd,brd->br", q, vec, precision="highest", preferred_element_type=jnp.float32)
         score = -dot if metric == "inner_product" else corpus_sq[safe] - 2.0 * dot
         dead = (idx[:, None] < 0) | (ids < 0)
         neg = jnp.where(dead, -jnp.inf, -score)
