@@ -56,6 +56,10 @@ class Config:
     subset_fraction: float = 0.01  # training-subset fraction
     redundancy_batch: int = 1_000_000  # full-corpus redundancy batch rows
 
+    # diagnostics (reference keeps these as commented-out call sites;
+    # here they are a flag: per-query nprobe study + kNN-tail analysis)
+    run_diagnostics: bool = False
+
     # derived (filled by update())
     pth_log: str | None = None
     file_name: str | None = None

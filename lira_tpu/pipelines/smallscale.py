@@ -141,6 +141,31 @@ def run_smallscale(
 
     results: dict = {"epoch_rows": epoch_rows, "state": state, "kmeans": km, "scaler": scaler}
 
+    # optional diagnostics: per-query nprobe study + kNN-tail analysis
+    # (reference: utils.py:502-519 / utils.py:438-500, commented-out there)
+    if cfg.run_diagnostics:
+        from ..diagnostics import observe_knn_tail, per_query_nprobe
+        from ..labels.distr import knn_bucket_counts
+
+        cnt_query = knn_bucket_counts(knn_query, data_2_bkt, n_bkt)
+        csv = None
+        if cfg.pth_log and cfg.file_name:
+            csv = os.path.join(cfg.pth_log, f"{cfg.file_name}_perquery.csv")
+        results_pq = per_query_nprobe(outputs, cnt_query, layout.sizes, cfg.k, csv_path=csv)
+        fprint(f">> per-query study: mean nprobe@0.98 = {results_pq[:, 1].mean():.2f}", fw)
+        _, data_predicts_diag, _, data_outputs_diag = evaluate(
+            state, dist_d, x_d, labels_data, sigma=cfg.sigma, batch_size=cfg.batch_size
+        )
+        tail = observe_knn_tail(
+            cnt_query, data_outputs_diag, dist_d, knn_query, data_2_bkt, max_points=2000
+        )
+        fprint(
+            f">> kNN-tail: {len(tail['tail_ids'])} boundary points; "
+            f"probing-rank validity@1 {tail['output_rank_valid'][:2]}, "
+            f"distance-rank validity@1 {tail['dist_rank_valid'][:2]}",
+            fw,
+        )
+
     # (5) baseline sweep (part 0) + redundancy + part-1 sweep
     thresholds = np.arange(cfg.t_min, cfg.t_max + cfg.t_step / 2, cfg.t_step)
     sweep_parts = []
