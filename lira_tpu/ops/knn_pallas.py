@@ -71,6 +71,8 @@ def _round1_select(
     Q, d = q.shape
     n_pad = base.shape[0]
     n_groups = n_pad // 128
+    if precision not in ("default", "highest"):
+        precision = "highest"  # Mosaic's dot lowering supports only these two
 
     gmin_t = pl.pallas_call(
         partial(_groupmin_kernel, precision=precision, metric=metric),
