@@ -74,24 +74,37 @@ def main():
     elapsed = time.perf_counter() - t0
     log(f"exact self-kNN 1M×1M×{d}: {elapsed:.2f}s on device")
 
-    # strip self + correctness spot check against a numpy oracle slice
-    sample_ids = np.asarray(all_ids[:4096])
-    base_head = np.asarray(base[:65536])
-    rng = np.random.default_rng(0)
-    ok = 0
-    checked = 0
-    for i in rng.integers(0, 4096, size=32):
-        dd = ((base_head - base_head[i]) ** 2).sum(1)
-        dd[i] = np.inf
-        true_nn = int(np.argmin(dd))
-        got = [g for g in sample_ids[i] if g != i]
-        # only decidable when the true global NN is inside the checked slice
-        if dd[true_nn] <= 0.25 * np.median(dd):
-            checked += 1
-            ok += true_nn in got
-    log(f"spot check: {ok}/{checked} nearest-neighbor hits")
-    if checked and ok < checked * 0.9:
-        log("WARNING: spot check below threshold")
+    # Correctness spot check.  Avoid fresh device programs (remote compiles
+    # are slow): transfer results whole, and regenerate the oracle rows on
+    # the CPU backend — threefry bits are identical across backends.
+    t0 = time.perf_counter()
+    sample_ids = jax.device_get(all_ids)[:4096]
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            kc2, kb2, ka2 = jax.random.split(jax.random.PRNGKey(43), 3)
+            centers_h = jax.random.normal(kc2, (1024, d)) * 40.0
+            assign_h = jax.random.randint(ka2, (n_pad,), 0, 1024)
+            noise_h = jax.random.normal(kb2, (n_pad, d)) * 12.0
+            base_head = np.asarray(centers_h)[np.asarray(assign_h[:65536])] + np.asarray(
+                noise_h[:65536]
+            )
+        base_head = base_head.astype(np.float32)
+        rng = np.random.default_rng(0)
+        ok = checked = 0
+        for i in rng.integers(0, 4096, size=64):
+            dd = ((base_head - base_head[i]) ** 2).sum(1)
+            dd[i] = np.inf
+            true_nn = int(np.argmin(dd))
+            # decidable only when the local NN is clearly a same-cluster point
+            if dd[true_nn] <= 0.25 * np.median(dd):
+                checked += 1
+                ok += true_nn in set(int(g) for g in sample_ids[i])
+        log(f"spot check: {ok}/{checked} hits ({time.perf_counter() - t0:.1f}s)")
+        if checked and ok < checked * 0.9:
+            log("WARNING: spot check below threshold")
+    except Exception as exc:  # CPU backend unavailable: skip the check
+        log(f"spot check skipped: {exc}")
 
     print(
         json.dumps(
