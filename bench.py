@@ -44,9 +44,10 @@ def main():
     # run a true full-corpus oracle without extra device programs
     t0 = time.perf_counter()
     rng = np.random.default_rng(43)
-    centers_h = (rng.standard_normal((1024, d)) * 40.0).astype(np.float32)
+    centers_h = rng.standard_normal((1024, d), dtype=np.float32) * 40.0
     assign_h = rng.integers(0, 1024, size=n_pad)
-    base_h = centers_h[assign_h] + (rng.standard_normal((n_pad, d)) * 12.0).astype(np.float32)
+    base_h = centers_h[assign_h]
+    base_h += rng.standard_normal((n_pad, d), dtype=np.float32) * 12.0
     base_h[n:] = 0.0
     log(f"corpus generated on host ({time.perf_counter() - t0:.1f}s)")
 
@@ -84,9 +85,11 @@ def main():
     # Correctness check: full-corpus numpy oracle on sampled rows (exact).
     t0 = time.perf_counter()
     sample_ids = jax.device_get(all_ids)
+    log(f"results pulled to host ({time.perf_counter() - t0:.1f}s)")
+    t0 = time.perf_counter()
     check_rng = np.random.default_rng(0)
     ok = tot = 0
-    for i in check_rng.integers(0, n, size=32):
+    for i in check_rng.integers(0, n, size=16):
         dd = ((base_h[:n] - base_h[i]) ** 2).sum(axis=1)
         dd[i] = np.inf
         true_top = set(int(v) for v in np.argpartition(dd, k)[: k])
@@ -94,7 +97,7 @@ def main():
         ok += len(true_top & got)
         tot += k
     recall = ok / tot
-    log(f"oracle check: recall@{k} over 32 rows = {recall:.4f} ({time.perf_counter() - t0:.1f}s)")
+    log(f"oracle check: recall@{k} over 16 rows = {recall:.4f} ({time.perf_counter() - t0:.1f}s)")
     if recall < 0.999:
         log("WARNING: below exact-recall threshold")
 
