@@ -170,9 +170,9 @@ def run_smallscale(
     thresholds = np.arange(cfg.t_min, cfg.t_max + cfg.t_step / 2, cfg.t_step)
     sweep_parts = []
     if cfg.duplicate_type == "model":
-        data_predicts, data_scores = evaluate(
+        _, data_predicts, _, data_scores = evaluate(
             state, dist_d, x_d, labels_data, sigma=cfg.sigma, batch_size=cfg.batch_size
-        )[1::2]
+        )
         with stage_timer("baseline scan + sweep (part 0)", fw):
             corpus = BucketCorpus.build(x_d, layout)
             found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
