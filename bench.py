@@ -83,13 +83,15 @@ def main():
     log(f"exact self-kNN 1M×1M×{d}: {elapsed:.2f}s on device")
 
     # Correctness check: full-corpus numpy oracle on sampled rows (exact).
+    # Pull only the first query tile's results — d2h over the tunnel is the
+    # slowest link in this environment.
     t0 = time.perf_counter()
-    sample_ids = jax.device_get(all_ids)
-    log(f"results pulled to host ({time.perf_counter() - t0:.1f}s)")
+    sample_ids = jax.device_get(ids_parts[0])
+    log(f"sample results pulled to host ({time.perf_counter() - t0:.1f}s)")
     t0 = time.perf_counter()
     check_rng = np.random.default_rng(0)
     ok = tot = 0
-    for i in check_rng.integers(0, n, size=16):
+    for i in check_rng.integers(0, q_tile, size=16):
         dd = ((base_h[:n] - base_h[i]) ** 2).sum(axis=1)
         dd[i] = np.inf
         true_top = set(int(v) for v in np.argpartition(dd, k)[: k])
