@@ -135,18 +135,26 @@ class QueryEngine:
         tile: int | None = None,
         n_mul: int = 2,
         scan_impl: str = "xla",  # 'xla' | 'pallas'
+        scan_dtype: str = "float32",  # 'float32' | 'bfloat16' (fast mode)
     ):
+        """scan_dtype='bfloat16' stores the corpus in bf16 — half the HBM
+        bytes per scanned candidate (the QPS ceiling for selective scan) —
+        and re-ranks the over-fetched candidate set with exact f32 scores
+        before returning, so final neighbor ordering stays f32-exact up to
+        candidates the bf16 screen drops from the over-fetch margin."""
         self.metric = metric
         self.n_mul = max(1, n_mul)
         self.scan_impl = scan_impl
+        self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
         self.tile = tile or layout.tile
         self.layout = layout
         x_d = np.asarray(x_d, dtype=np.float32)
         dim = x_d.shape[1]
+        self._x_d = x_d
 
         padded = layout.gather_vectors(x_d)  # (padded_total, dim)
         n_tiles = padded.shape[0] // self.tile
-        self.corpus = jnp.asarray(padded.reshape(n_tiles, self.tile, dim))
+        self.corpus = jnp.asarray(padded.reshape(n_tiles, self.tile, dim), self.scan_dtype)
         ids = layout.padded_ids.reshape(n_tiles, self.tile)
         self.corpus_ids = jnp.asarray(ids)
         sq = (padded * padded).sum(axis=1).reshape(n_tiles, self.tile)
@@ -224,22 +232,27 @@ class QueryEngine:
         outputs = np.asarray(self._probe_jit(q))
         probed = self.select_buckets(outputs, threshold)
         tiles = self._probe_tiles(probed)
-        # scan with n_mul × k slots so replicas can be deduplicated to k distinct
+        # scan with n_mul × k slots so replicas can be deduplicated to k
+        # distinct; bf16 mode over-fetches extra slots for the f32 re-rank
+        fetch_k = k * self.n_mul + (16 if self.scan_dtype == jnp.bfloat16 else 0)
         if self.scan_impl == "pallas":
             from .pallas_scan import pallas_probed_scan
 
             scores, ids = pallas_probed_scan(
-                q, jnp.asarray(tiles), self.corpus, self.corpus_ids,
+                q, jnp.asarray(tiles), self.corpus.astype(jnp.float32), self.corpus_ids,
                 jnp.where(jnp.isfinite(self.corpus_sq), self.corpus_sq, 3e38),
-                k * self.n_mul, self.metric,
+                fetch_k, self.metric,
                 interpret=jax.default_backend() != "tpu",
             )
         else:
             scores, ids = _scan_probed_tiles(
                 q, jnp.asarray(tiles), self.corpus, self.corpus_ids, self.corpus_sq,
-                k * self.n_mul, self.metric,
+                fetch_k, self.metric,
             )
-        ids, scores = _dedup_topk(np.asarray(ids), np.asarray(scores), k)
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        if self.scan_dtype == jnp.bfloat16:
+            ids, scores = self._rerank_f32(np.asarray(queries, np.float32), ids, scores)
+        ids, scores = _dedup_topk(ids, scores, k)
         elapsed = time.perf_counter() - t0
         return SearchResult(
             ids=ids,
@@ -247,6 +260,24 @@ class QueryEngine:
             nprobe=probed.sum(axis=1),
             ndis=(probed @ self.sizes.astype(np.int64)),
             elapsed=elapsed,
+        )
+
+    def _rerank_f32(self, queries: np.ndarray, ids: np.ndarray, scores: np.ndarray):
+        """Recompute exact f32 ranking scores for the fetched candidates and
+        sort (bf16 fast mode's final correction pass; tiny: B × fetch_k × d)."""
+        B, m = ids.shape
+        safe = np.maximum(ids, 0)
+        vec = self._x_d[safe]  # (B, m, d)
+        dot = np.einsum("bmd,bd->bm", vec.astype(np.float64), queries.astype(np.float64))
+        if self.metric == "inner_product":
+            exact = -dot
+        else:
+            exact = (vec.astype(np.float64) ** 2).sum(-1) - 2.0 * dot
+        exact = np.where(ids >= 0, exact, np.inf)
+        order = np.argsort(exact, axis=1, kind="stable")
+        return (
+            np.take_along_axis(ids, order, axis=1),
+            np.take_along_axis(exact.astype(np.float32), order, axis=1),
         )
 
     def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:
