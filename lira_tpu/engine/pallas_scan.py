@@ -34,13 +34,13 @@ def _scan_kernel(
     # scalar prefetch
     tile_idx_ref,  # (B, T) int32 in SMEM
     # inputs
-    q_ref,  # (1, d) VMEM — this query's vector
+    q_ref,  # (1, 8, d) VMEM — this query's vector (sublane-replicated)
     corpus_ref,  # (n_tiles, 128, d) HBM
     corpus_ids_ref,  # (n_tiles, 128) HBM (int32)
     corpus_sq_ref,  # (n_tiles, 128) HBM (f32; +big at padding)
     # outputs
-    out_vals_ref,  # (1, R*128) VMEM
-    out_ids_ref,  # (1, R*128) VMEM (int32)
+    out_vals_ref,  # (1, R_pad, 128) VMEM
+    out_ids_ref,  # (1, R_pad, 128) VMEM (int32)
     # scratch
     vec_buf,  # (2, 128, d) VMEM
     ids_buf,  # (2, 1, 128) VMEM int32
@@ -97,7 +97,7 @@ def _scan_kernel(
     @pl.when(cur_tile >= 0)
     def _():
         vec = vec_buf[slot]  # (128, d)
-        qv = q_ref[0, :]  # (d,)
+        qv = q_ref[0, 0, :]  # (d,)
         dot = jax.lax.dot_general(
             vec, qv[:, None],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -124,8 +124,8 @@ def _scan_kernel(
     # last step: emit the stacks
     @pl.when(t == n_slots - 1)
     def _():
-        out_vals_ref[0, :] = stack_vals[...].reshape(-1)
-        out_ids_ref[0, :] = stack_ids[...].reshape(-1)
+        out_vals_ref[0] = stack_vals[...]
+        out_ids_ref[0] = stack_ids[...]
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "interpret"))
@@ -143,26 +143,30 @@ def pallas_probed_scan(
     B, T = tile_idx.shape
     d = q.shape[1]
     r_rows = min(k, 128)
+    r_pad = ((r_rows + 7) // 8) * 8  # TPU block alignment: sublane dim % 8
+
+    # queries replicated over 8 sublanes so the (1, 8, d) block is legal
+    q_rep = jnp.broadcast_to(q[:, None, :], (B, 8, d))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, d), lambda b, t, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, r_rows * 128), lambda b, t, *_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows * 128), lambda b, t, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_pad, 128), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_pad, 128), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 128, d), jnp.float32),
             pltpu.VMEM((2, 1, 128), jnp.int32),
             pltpu.VMEM((2, 1, 128), jnp.float32),
-            pltpu.VMEM((r_rows, 128), jnp.float32),
-            pltpu.VMEM((r_rows, 128), jnp.int32),
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+            pltpu.VMEM((r_pad, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
@@ -171,13 +175,15 @@ def pallas_probed_scan(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, r_rows * 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, r_rows * 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, r_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, r_pad, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_idx, q, corpus, corpus_ids, corpus_sq)
+    )(tile_idx, q_rep, corpus, corpus_ids, corpus_sq)
 
     # final exact top-k over the R·128 candidates (tiny, XLA)
+    vals = vals.reshape(B, r_pad * 128)
+    ids = ids.reshape(B, r_pad * 128)
     neg, sel = jax.lax.top_k(-vals, k)
     out_ids = jnp.take_along_axis(ids, sel, axis=1)
     out_ids = jnp.where(jnp.isfinite(-neg) & (-neg < 1e37), out_ids, -1)
