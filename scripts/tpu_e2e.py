@@ -57,28 +57,32 @@ def main():
             )
         )
 
-    # serving QPS, both scan impls
-    for impl in ("xla", "pallas"):
-        eng = QueryEngine(
-            bundle.base, res["layout"], res["kmeans"].centroids, res["scaler"],
-            res["state"].params, n_mul=cfg.n_mul, scan_impl=impl,
-        )
-        eng.search(bundle.query[:256], 0.3, 10)  # warmup/compile
-        best_qps = {}
-        for thr in (0.1, 0.3, 0.5):
-            t0 = time.time()
-            r = eng.search(bundle.query, thr, 10)
-            recall = eng.recall_against(r.ids, bundle.groundtruth, 10).mean()
-            best_qps[thr] = (len(bundle.query) / r.elapsed, recall, r.ndis.mean())
-        for thr, (qps, recall, ndis) in best_qps.items():
-            lines.append(
-                f"serve[{impl}] thr={thr}: QPS {qps:.0f}, recall@10 {recall:.4f}, ndis {ndis:.0f}"
-            )
+    for line in lines:
+        print("##", line, flush=True)
 
-    report = "\n".join(lines)
-    print(report, flush=True)
+    # serving QPS: scan impls × dtypes
+    for impl, dtype in (("xla", "float32"), ("xla", "bfloat16"), ("pallas", "float32")):
+        try:
+            eng = QueryEngine(
+                bundle.base, res["layout"], res["kmeans"].centroids, res["scaler"],
+                res["state"].params, n_mul=cfg.n_mul, scan_impl=impl, scan_dtype=dtype,
+            )
+            eng.search(bundle.query[:256], 0.3, 10)  # warmup/compile
+            for thr in (0.1, 0.3, 0.5):
+                r = eng.search(bundle.query, thr, 10)
+                recall = eng.recall_against(r.ids, bundle.groundtruth, 10).mean()
+                line = (
+                    f"serve[{impl}/{dtype}] thr={thr}: QPS {len(bundle.query) / r.elapsed:.0f}, "
+                    f"recall@10 {recall:.4f}, ndis {r.ndis.mean():.0f}, nprobe {r.nprobe.mean():.1f}"
+                )
+                lines.append(line)
+                print("##", line, flush=True)
+        except Exception as exc:
+            lines.append(f"serve[{impl}/{dtype}] FAILED: {exc}")
+            print("##", lines[-1], flush=True)
+
     with open("scripts/tpu_e2e_report.txt", "w") as f:
-        f.write(report + "\n")
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
