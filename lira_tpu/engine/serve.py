@@ -238,10 +238,12 @@ class QueryEngine:
         if self.scan_impl == "pallas":
             from .pallas_scan import pallas_probed_scan
 
+            if not hasattr(self, "_pallas_corpus"):
+                self._pallas_corpus = self.corpus.astype(jnp.float32)
+                self._pallas_sq = jnp.where(jnp.isfinite(self.corpus_sq), self.corpus_sq, 3e38)
             scores, ids = pallas_probed_scan(
-                q, jnp.asarray(tiles), self.corpus.astype(jnp.float32), self.corpus_ids,
-                jnp.where(jnp.isfinite(self.corpus_sq), self.corpus_sq, 3e38),
-                fetch_k, self.metric,
+                q, jnp.asarray(tiles), self._pallas_corpus, self.corpus_ids,
+                self._pallas_sq, fetch_k, self.metric,
                 interpret=jax.default_backend() != "tpu",
             )
         else:
