@@ -219,3 +219,28 @@ class ShardedQueryEngine:
             ndis=probed @ self.sizes.astype(np.int64),
             elapsed=elapsed,
         )
+
+    def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:
+        hits = (result_ids[:, :, None] == gt_ids[:, None, :k]).any(axis=1)
+        return hits.sum(axis=1) / float(k)
+
+    def sweep(self, queries, gt_ids, k, thresholds, warmup: bool = True) -> list[dict]:
+        """Measured end-to-end threshold sweep (QueryEngine.sweep parity)."""
+        n_q = len(queries)
+        if warmup:
+            self.search(queries[: min(64, n_q)], float(thresholds[0]), k)
+        rows = []
+        for thr in thresholds:
+            res = self.search(queries, float(thr), k)
+            recall = self.recall_against(res.ids, gt_ids, k)
+            rows.append(
+                {
+                    "threshold": float(thr),
+                    "avg_recall": float(recall.mean()),
+                    "avg_nprobe": float(res.nprobe.mean()),
+                    "avg_cmp": float(res.ndis.mean()),
+                    "avg_time": res.elapsed / n_q,
+                    "qps": n_q / res.elapsed,
+                }
+            )
+        return rows
