@@ -27,17 +27,40 @@ class DatasetBundle:
     groundtruth: np.ndarray | None  # (n_q, k_gt) int32 or None
 
 
+def _read_vectors(dataset_dir: str, name: str, kinds: tuple[str, ...]) -> np.ndarray | None:
+    """Load the first existing {name}.{fvecs,bvecs} as float32 (bvecs widen
+    via the native parser when built — BIGANN-style datasets ship uint8)."""
+    for kind in kinds:
+        for ext in ("fvecs", "bvecs"):
+            path = os.path.join(dataset_dir, f"{name}_{kind}.{ext}")
+            if not os.path.exists(path):
+                continue
+            if ext == "bvecs":
+                raw = np.fromfile(path, dtype=np.uint8)
+                dim = int(raw[:4].view(np.int32)[0])
+                n = raw.size // (dim + 4)
+                try:
+                    from .. import native
+
+                    if native.available():
+                        return native.bvecs_rows(raw, n, dim)
+                except Exception:
+                    pass
+                return read_xvecs(path).astype(np.float32)
+            return np.ascontiguousarray(read_xvecs(path), dtype=np.float32)
+    return None
+
+
 def load_data(dataset_name: str, data_path: str = "/data/vector_datasets") -> DatasetBundle:
     """Load a dataset in the standard xvecs directory layout."""
     dataset_dir = os.path.join(data_path, dataset_name)
 
-    base_file = os.path.join(dataset_dir, f"{dataset_name}_base.fvecs")
-    if not os.path.exists(base_file):
-        base_file = os.path.join(dataset_dir, f"{dataset_name}_learn.fvecs")
-    x_d = np.ascontiguousarray(read_xvecs(base_file), dtype=np.float32)
-
-    query_file = os.path.join(dataset_dir, f"{dataset_name}_query.fvecs")
-    x_q = np.ascontiguousarray(read_xvecs(query_file), dtype=np.float32)
+    x_d = _read_vectors(dataset_dir, dataset_name, ("base", "learn"))
+    if x_d is None:
+        raise FileNotFoundError(f"no base/learn vectors for {dataset_name} in {dataset_dir}")
+    x_q = _read_vectors(dataset_dir, dataset_name, ("query",))
+    if x_q is None:
+        raise FileNotFoundError(f"no query vectors for {dataset_name} in {dataset_dir}")
 
     gt_file = os.path.join(dataset_dir, f"{dataset_name}_groundtruth.ivecs")
     gt_ids = None
