@@ -16,6 +16,20 @@ import lira_tpu
 
 lira_tpu.enable_compilation_cache()
 
+
+def _wait_for_device():
+    """The axon TPU registration happens at interpreter start and is
+    transiently flaky (e.g. while a previous process still holds the chip).
+    A failure is permanent for this process — exit code 42 tells the
+    launcher to restart us."""
+    import jax
+
+    try:
+        print(f"device ready: {jax.devices()}", flush=True)
+    except RuntimeError as exc:
+        print(f"device not ready: {exc}", flush=True)
+        raise SystemExit(42)
+
 from lira_tpu.config import Config
 from lira_tpu.engine.serve import QueryEngine
 from lira_tpu.io.datasets import synthetic_dataset
@@ -26,6 +40,7 @@ def main():
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
+    _wait_for_device()
     t0 = time.time()
     bundle = synthetic_dataset(
         n_base=n_base, n_query=1000, dim=128, n_clusters=n_bkt, k_gt=100, seed=43
