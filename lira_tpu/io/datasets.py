@@ -98,20 +98,25 @@ def synthetic_dataset(
     metric: str = "L2",
     name: str = "synthetic",
     compute_gt: bool = True,
+    center_scale: float = 4.0,
+    noise_scale: float = 1.0,
+    query_noise: float = 0.5,
 ) -> DatasetBundle:
     """Generate a clustered dataset (Gaussian mixture) with exact ground truth.
 
     Queries are perturbed base points so they land near cluster boundaries
     with realistic frequency — this exercises the redundancy machinery.
+    Raise `query_noise` (relative to `noise_scale`) or lower `center_scale`
+    to make queries straddle partitions like real embedding workloads.
     """
     rng = np.random.default_rng(seed)
-    centers = rng.normal(scale=4.0, size=(n_clusters, dim)).astype(np.float32)
+    centers = rng.normal(scale=center_scale, size=(n_clusters, dim)).astype(np.float32)
     assign = rng.integers(0, n_clusters, size=n_base)
-    base = centers[assign] + rng.normal(scale=1.0, size=(n_base, dim)).astype(np.float32)
+    base = centers[assign] + rng.normal(scale=noise_scale, size=(n_base, dim)).astype(np.float32)
     base = base.astype(np.float32)
 
     q_src = rng.integers(0, n_base, size=n_query)
-    query = base[q_src] + rng.normal(scale=0.5, size=(n_query, dim)).astype(np.float32)
+    query = base[q_src] + rng.normal(scale=query_noise, size=(n_query, dim)).astype(np.float32)
     query = query.astype(np.float32)
 
     gt = None
