@@ -52,6 +52,7 @@ def _scan_kernel(
     n_slots: int,
     r_rows: int,
     metric: str,
+    double_buffer: bool = True,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -77,32 +78,46 @@ def _scan_kernel(
             corpus_sq_ref.at[pl.ds(tile, 1)], sq_buf.at[slot], sems.at[2, slot]
         ).wait()
 
-    # first step of each query: reset the stack and warm the pipeline
-    @pl.when(t == 0)
-    def _():
-        stack_vals[...] = jnp.full_like(stack_vals, big)
-        stack_ids[...] = jnp.full_like(stack_ids, -1)
-        start_dma(0, tile_idx_ref[b, 0])
-
     cur_tile = tile_idx_ref[b, t]
-    slot = jax.lax.rem(t, 2)
+    if double_buffer:
+        # first step of each query: reset the stack and warm the pipeline
+        @pl.when(t == 0)
+        def _():
+            stack_vals[...] = jnp.full_like(stack_vals, big)
+            stack_ids[...] = jnp.full_like(stack_ids, -1)
+            start_dma(0, tile_idx_ref[b, 0])
 
-    # prefetch the next slot while computing this one
-    @pl.when(t + 1 < n_slots)
-    def _():
-        start_dma(1 - slot, tile_idx_ref[b, t + 1])
+        slot = jax.lax.rem(t, 2)
 
-    wait_dma(slot, cur_tile)
+        # prefetch the next slot while computing this one
+        @pl.when(t + 1 < n_slots)
+        def _():
+            start_dma(1 - slot, tile_idx_ref[b, t + 1])
+
+        wait_dma(slot, cur_tile)
+    else:
+        @pl.when(t == 0)
+        def _():
+            stack_vals[...] = jnp.full_like(stack_vals, big)
+            stack_ids[...] = jnp.full_like(stack_ids, -1)
+
+        slot = jnp.int32(0)
+        start_dma(slot, cur_tile)
+        wait_dma(slot, cur_tile)
 
     @pl.when(cur_tile >= 0)
     def _():
         vec = vec_buf[slot]  # (128, d)
-        qv = q_ref[0, 0, :]  # (d,)
-        dot = jax.lax.dot_general(
-            vec, qv[:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0]  # (128,)
+        # (8, d) × (128, d)ᵀ → (8, 128): the query block is sublane-replicated,
+        # so this is a well-tiled MXU shape (a 1-wide GEMV miscompiled under
+        # Mosaic — wrong scores on ~5% of rows; see tests/test_pallas_scan.py)
+        dot8 = jax.lax.dot_general(
+            q_ref[0], vec,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision="highest",  # Mosaic defaults f32 dots to bf16 passes,
+            preferred_element_type=jnp.float32,  # which reorders near-ties
+        )  # (8, 128)
+        dot = dot8[0]
         if metric == "inner_product":
             score = -dot + sq_buf[slot][0]
         else:
@@ -128,7 +143,7 @@ def _scan_kernel(
         out_ids_ref[0] = stack_ids[...]
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+@partial(jax.jit, static_argnames=("k", "metric", "interpret", "double_buffer"))
 def pallas_probed_scan(
     q: jax.Array,  # (B, d)
     tile_idx: jax.Array,  # (B, T) int32, -1 = no tile
@@ -138,6 +153,7 @@ def pallas_probed_scan(
     k: int,
     metric: str = "L2",
     interpret: bool = False,
+    double_buffer: bool = True,
 ):
     """(scores (B, k), ids (B, k)) — exact top-k over each query's probed tiles."""
     B, T = tile_idx.shape
@@ -170,7 +186,9 @@ def pallas_probed_scan(
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
     )
-    kernel = partial(_scan_kernel, n_slots=T, r_rows=r_rows, metric=metric)
+    kernel = partial(
+        _scan_kernel, n_slots=T, r_rows=r_rows, metric=metric, double_buffer=double_buffer
+    )
     vals, ids = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
