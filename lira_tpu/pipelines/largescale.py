@@ -215,7 +215,9 @@ def main(argv=None):
 
     cfg = parse_config(argv)
     if cfg.n_epoch == 10:
-        cfg.n_epoch = 30  # large-scale default (reference: n_epoch=30, batch 512)
+        cfg.n_epoch = 30  # large-scale defaults (reference: n_epoch=30, batch 512)
+    if cfg.batch_size == 64:
+        cfg.batch_size = 512
     os.makedirs(cfg.pth_log, exist_ok=True)
     with open(os.path.join(cfg.pth_log, cfg.log_name), "a", encoding="utf-8") as fw:
         run_largescale(cfg, log_file=fw)
