@@ -143,8 +143,44 @@ def _scan_kernel(
         out_ids_ref[0] = stack_ids[...]
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "interpret", "double_buffer"))
 def pallas_probed_scan(
+    q: jax.Array,
+    tile_idx: jax.Array,
+    corpus: jax.Array,
+    corpus_ids: jax.Array,
+    corpus_sq: jax.Array,
+    k: int,
+    metric: str = "L2",
+    interpret: bool = False,
+    double_buffer: bool = True,
+    smem_budget: int = 1 << 19,  # scalar-prefetch operand must fit SMEM (1 MiB)
+):
+    """(scores (B, k), ids (B, k)) — exact top-k over each query's probed tiles.
+
+    The tile-index matrix is a scalar-prefetch operand and must fit in SMEM;
+    large batches are processed in sub-batches transparently.
+    """
+    B, T = tile_idx.shape
+    max_b = max(8, smem_budget // max(T * 4, 1))
+    if B > max_b:
+        outs = [
+            _pallas_probed_scan(
+                q[s : s + max_b], tile_idx[s : s + max_b], corpus, corpus_ids,
+                corpus_sq, k, metric, interpret, double_buffer,
+            )
+            for s in range(0, B, max_b)
+        ]
+        return (
+            jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+        )
+    return _pallas_probed_scan(
+        q, tile_idx, corpus, corpus_ids, corpus_sq, k, metric, interpret, double_buffer
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "interpret", "double_buffer"))
+def _pallas_probed_scan(
     q: jax.Array,  # (B, d)
     tile_idx: jax.Array,  # (B, T) int32, -1 = no tile
     corpus: jax.Array,  # (n_tiles, 128, d)
@@ -155,7 +191,6 @@ def pallas_probed_scan(
     interpret: bool = False,
     double_buffer: bool = True,
 ):
-    """(scores (B, k), ids (B, k)) — exact top-k over each query's probed tiles."""
     B, T = tile_idx.shape
     d = q.shape[1]
     r_rows = min(k, 128)

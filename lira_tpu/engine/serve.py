@@ -84,6 +84,19 @@ def _probe(params, centroids, scaler_mean, scaler_scale, q):
     return mlp_forward(params, d, q)
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _probe_topm(params, centroids, scaler_mean, scaler_scale, q, m):
+    """Probe + device-side top-m bucket selection.
+
+    Returns only (scores (B, m), bucket ids (B, m)) — for large batches this
+    keeps the (B, n_bkt) probability matrix on device instead of paying the
+    host transfer (the reference's per-query loop has no such concern;
+    batched TPU serving does)."""
+    out = _probe(params, centroids, scaler_mean, scaler_scale, q)
+    vals, idx = jax.lax.top_k(out, m)
+    return vals, idx.astype(jnp.int32)
+
+
 def _dedup_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Keep the first occurrence of each id per row, compress, truncate to k.
 
@@ -136,6 +149,7 @@ class QueryEngine:
         n_mul: int = 2,
         scan_impl: str = "xla",  # 'xla' | 'pallas'
         scan_dtype: str = "float32",  # 'float32' | 'bfloat16' (fast mode)
+        probe_cap: int | None = None,  # device-side top-M bucket selection
     ):
         """scan_dtype='bfloat16' stores the corpus in bf16 — half the HBM
         bytes per scanned candidate (the QPS ceiling for selective scan) —
@@ -145,6 +159,7 @@ class QueryEngine:
         self.metric = metric
         self.n_mul = max(1, n_mul)
         self.scan_impl = scan_impl
+        self.probe_cap = probe_cap
         self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
         self.tile = tile or layout.tile
         self.layout = layout
@@ -225,12 +240,29 @@ class QueryEngine:
 
     # ---------- end-to-end search ----------
 
+    def _select_probed(self, q: jax.Array, threshold: float) -> np.ndarray:
+        """(B, n_bkt) bool probed mask — dense path or capped top-M path."""
+        if self.probe_cap is None:
+            outputs = np.asarray(self._probe_jit(q))
+            return self.select_buckets(outputs, threshold)
+        m = min(self.probe_cap, self.layout.n_bkt)
+        vals, idx = _probe_topm(
+            self.params, self.centroids, self.scaler_mean, self.scaler_scale, q, m
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        valid = vals >= threshold
+        valid[:, 0] = True  # argmax fallback: the top-1 bucket is always probed
+        B = len(vals)
+        probed = np.zeros((B, self.layout.n_bkt), dtype=bool)
+        rows = np.repeat(np.arange(B), valid.sum(axis=1))
+        probed[rows, idx[valid]] = True
+        return probed
+
     def search(self, queries: np.ndarray, threshold: float, k: int) -> SearchResult:
         """Probe + selective exact scan + top-k for one query batch."""
         t0 = time.perf_counter()
         q = jnp.asarray(queries, jnp.float32)
-        outputs = np.asarray(self._probe_jit(q))
-        probed = self.select_buckets(outputs, threshold)
+        probed = self._select_probed(q, threshold)
         tiles = self._probe_tiles(probed)
         # scan with n_mul × k slots so replicas can be deduplicated to k
         # distinct; bf16 mode over-fetches extra slots for the f32 re-rank
