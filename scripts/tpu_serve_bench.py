@@ -65,7 +65,7 @@ def main():
     params = init_params(jax.random.PRNGKey(0), n_bkt, d)
 
     for impl in ("xla", "pallas"):
-        eng = QueryEngine(x_d, layout, km.centroids, scaler, params, scan_impl=impl)
+        eng = QueryEngine(x_d, layout, km.centroids, scaler, params, scan_impl=impl, probe_cap=128)
         outputs = eng.probe(x_q[:512])
         for target_nprobe in (8, 32, 96):
             thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
