@@ -291,16 +291,30 @@ class QueryEngine:
         # distinct; bf16 mode over-fetches extra slots for the f32 re-rank
         fetch_k = k * self.n_mul + (16 if self.scan_dtype == jnp.bfloat16 else 0)
 
+        # fixed-size blocks over count-sorted queries: each block scans at the
+        # pow2 ceiling of its own max tile count.  Block size and T are both
+        # pow2 → the number of distinct compiled shapes stays logarithmic.
         B = len(queries)
         counts = (tiles >= 0).sum(axis=1)
-        t_group = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(counts, 1))).astype(np.int64))
+        block = min(2048, max(8, 1 << int(np.ceil(np.log2(max(B, 1))))))
+        order = np.argsort(counts, kind="stable")
         ids = np.empty((B, fetch_k), np.int32)
         scores = np.empty((B, fetch_k), np.float32)
-        for t_val in np.unique(t_group):
-            sel = np.where(t_group == t_val)[0]
-            sc, gid = self._scan(q[sel], tiles[sel, :t_val], fetch_k)
-            ids[sel] = np.asarray(gid)
-            scores[sel] = np.asarray(sc)
+        for s in range(0, B, block):
+            sel = order[s : s + block]
+            t_val = max(1, 1 << int(np.ceil(np.log2(max(int(counts[sel].max()), 1)))))
+            if len(sel) < block:  # pad the tail block to the fixed size
+                pad = np.zeros(block - len(sel), dtype=sel.dtype)
+                full = np.concatenate([sel, pad])
+                tiles_blk = tiles[full, :t_val].copy()
+                tiles_blk[len(sel):] = -1
+                sc, gid = self._scan(q[full], tiles_blk, fetch_k)
+                ids[sel] = np.asarray(gid[: len(sel)])
+                scores[sel] = np.asarray(sc[: len(sel)])
+            else:
+                sc, gid = self._scan(q[sel], tiles[sel, :t_val], fetch_k)
+                ids[sel] = np.asarray(gid)
+                scores[sel] = np.asarray(sc)
 
         if self.scan_dtype == jnp.bfloat16:
             ids, scores = self._rerank_f32(queries, ids, scores)
