@@ -69,7 +69,7 @@ def main():
         outputs = eng.probe(x_q[:512])
         for target_nprobe in (8, 32, 96):
             thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
-            eng.search(x_q[:512], thr, 10)  # warmup/compile
+            eng.search(x_q, thr, 10)  # warmup/compile at the measured shape
             t0 = time.time()
             r = eng.search(x_q, thr, 10)
             dt = time.time() - t0
