@@ -153,7 +153,8 @@ def pallas_probed_scan(
     metric: str = "L2",
     interpret: bool = False,
     double_buffer: bool = True,
-    smem_budget: int = 1 << 19,  # scalar-prefetch operand must fit SMEM (1 MiB)
+    smem_budget: int = 1 << 18,  # scalar-prefetch operand must fit SMEM (1 MiB,
+    # shared with grid control state — keep a wide margin)
 ):
     """(scores (B, k), ids (B, k)) — exact top-k over each query's probed tiles.
 
