@@ -87,6 +87,14 @@ class Config:
         return self
 
 
+def _str2bool(s: str) -> bool:
+    if s.lower() in ("1", "true", "yes", "y", "on"):
+        return True
+    if s.lower() in ("0", "false", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def add_config_args(parser: argparse.ArgumentParser, cls=Config) -> None:
     """Register every Config field as a CLI flag (types inferred)."""
     for f in dataclasses.fields(cls):
@@ -94,11 +102,16 @@ def add_config_args(parser: argparse.ArgumentParser, cls=Config) -> None:
             continue
         default = f.default if f.default is not dataclasses.MISSING else None
         # Optional[int] etc.: infer the underlying type from the first non-None
-        ftype = {int: int, float: float, str: str}.get(type(default), str)
-        if f.type in ("int | None", "int"):
+        # (bool before int: isinstance(True, int) holds, and argparse's bare
+        # `type=bool` would make `--flag False` truthy)
+        if isinstance(default, bool) or f.type == "bool":
+            ftype = _str2bool
+        elif f.type in ("int | None", "int") or isinstance(default, int):
             ftype = int
-        elif f.type in ("float | None", "float"):
+        elif f.type in ("float | None", "float") or isinstance(default, float):
             ftype = float
+        else:
+            ftype = str
         parser.add_argument(f"--{f.name}", type=ftype, default=default)
 
 

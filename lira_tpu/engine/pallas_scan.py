@@ -161,6 +161,12 @@ def pallas_probed_scan(
     The tile-index matrix is a scalar-prefetch operand and must fit in SMEM;
     large batches are processed in sub-batches transparently.
     """
+    if k > 128:
+        # per-lane exactness requires a full k-deep stack per lane; r_rows is
+        # capped at 128, so k > 128 would silently drop candidates that hash
+        # to an overfull lane.  Callers (engine/serve.py) fall back to the
+        # XLA scan for such fetch widths.
+        raise ValueError(f"pallas_probed_scan supports k <= 128 (got k={k})")
     B, T = tile_idx.shape
     max_b = max(8, smem_budget // max(T * 4, 1))
     if B > max_b:

@@ -259,12 +259,20 @@ class QueryEngine:
         return probed
 
     def _scan(self, q: jax.Array, tiles: np.ndarray, fetch_k: int):
-        if self.scan_impl == "pallas":
+        if self.scan_impl == "pallas" and fetch_k <= 128:
             from .pallas_scan import pallas_probed_scan
 
             if not hasattr(self, "_pallas_corpus"):
                 self._pallas_corpus = self.corpus.astype(jnp.float32)
-                self._pallas_sq = jnp.where(jnp.isfinite(self.corpus_sq), self.corpus_sq, 3e38)
+                # the kernel's score is sq - dot (IP) / sq - 2·dot (L2): under
+                # IP valid rows must carry sq = 0 (only padding is penalized),
+                # under L2 sq is the row norm (finite big value at padding)
+                if self.metric == "inner_product":
+                    self._pallas_sq = jnp.where(
+                        jnp.isfinite(self.corpus_sq) & (self.corpus_ids >= 0), 0.0, 3e38
+                    )
+                else:
+                    self._pallas_sq = jnp.where(jnp.isfinite(self.corpus_sq), self.corpus_sq, 3e38)
             return pallas_probed_scan(
                 q, jnp.asarray(tiles), self._pallas_corpus, self.corpus_ids,
                 self._pallas_sq, fetch_k, self.metric,

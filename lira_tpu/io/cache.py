@@ -24,18 +24,24 @@ def knn_cache_dir(data_path: str, dataset: str) -> str:
     return d
 
 
-def cache_basename(dataset: str, k: int, n: int, nprobe: int | None = None) -> str:
+def cache_basename(
+    dataset: str, k: int, n: int, nprobe: int | None = None, tag: str = ""
+) -> str:
     suffix = f"_ivf_nprobe{nprobe}" if nprobe else ""
-    return f"{dataset}-data_self_knn{k}-n{n}{suffix}.bin"
+    tag = f"-{tag}" if tag else ""
+    return f"{dataset}-data_self_knn{k}-n{n}{tag}{suffix}.bin"
 
 
-def find_knn_cache(data_path: str, dataset: str, k: int, n: int) -> str | None:
+def find_knn_cache(data_path: str, dataset: str, k: int, n: int, tag: str = "") -> str | None:
     """Locate an existing cache file, preferring approximate (any nprobe) then
-    exact, newest first."""
+    exact, newest first.  `tag` disambiguates caches over row *subsets*: the
+    same (dataset, k, n) key can describe different subsets (different seed),
+    so subset callers must pass a membership-identifying tag."""
     cache_dir = knn_cache_dir(data_path, dataset)
+    t = f"-{tag}" if tag else ""
     patterns = [
-        f"{dataset}-data_self_knn{k}-n{n}_ivf_nprobe*.bin",
-        f"{dataset}-data_self_knn{k}-n{n}.bin",
+        f"{dataset}-data_self_knn{k}-n{n}{t}_ivf_nprobe*.bin",
+        f"{dataset}-data_self_knn{k}-n{n}{t}.bin",
     ]
     for pattern in patterns:
         matches = glob.glob(os.path.join(cache_dir, pattern))
@@ -44,10 +50,14 @@ def find_knn_cache(data_path: str, dataset: str, k: int, n: int) -> str | None:
     return None
 
 
-def load_knn_cache(data_path: str, dataset: str, k: int, n: int) -> np.ndarray | None:
+def load_knn_cache(
+    data_path: str, dataset: str, k: int, n: int, tag: str = ""
+) -> np.ndarray | None:
     """Load a cached (n, k) int32 self-kNN matrix, or None if absent."""
-    path = find_knn_cache(data_path, dataset, k, n)
+    path = find_knn_cache(data_path, dataset, k, n, tag=tag)
     if path is None:
+        if tag:
+            return None
         # legacy .npy cache
         npy = os.path.join(knn_cache_dir(data_path, dataset), f"{dataset}-data_self_knn{k}-n{n}.npy")
         if os.path.exists(npy):
@@ -66,11 +76,12 @@ def save_knn_cache(
     nprobe: int | None = None,
     n_clusters: int | None = None,
     timings: dict[str, float] | None = None,
+    tag: str = "",
 ) -> str:
     """Write the (n, k) int32 matrix plus a `.meta` provenance sidecar."""
     n, k = knn.shape
     cache_dir = knn_cache_dir(data_path, dataset)
-    path = os.path.join(cache_dir, cache_basename(dataset, k, n, nprobe))
+    path = os.path.join(cache_dir, cache_basename(dataset, k, n, nprobe, tag=tag))
     np.ascontiguousarray(knn, dtype=np.int32).tofile(path)
 
     lines = [

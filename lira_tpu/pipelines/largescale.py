@@ -41,15 +41,18 @@ from .smallscale import _epochs_to_csv, get_self_knn
 
 
 def query_knn_on_subset(
-    x_sub: np.ndarray, x_q: np.ndarray, cfg: Config, use_cache: bool = True
+    x_sub: np.ndarray, x_q: np.ndarray, cfg: Config, use_cache: bool = True,
+    cache_tag: str = "",
 ) -> np.ndarray:
     """Query ground truth restricted to the training subset, cached
-    (reference: LIRA_largescale.py:217-234)."""
+    (reference: LIRA_largescale.py:217-234).  `cache_tag` identifies the
+    subset membership — (k, nsub) alone would collide across seeds."""
     cache_file = None
     if use_cache and cfg.dataset:
         cache_dir = os.path.join(cfg.data_path, cfg.dataset, "knn_cache")
+        tag = f"-{cache_tag}" if cache_tag else ""
         cache_file = os.path.join(
-            cache_dir, f"{cfg.dataset}-query_on_subset_knn{cfg.k}-nsub{len(x_sub)}.npy"
+            cache_dir, f"{cfg.dataset}-query_on_subset_knn{cfg.k}-nsub{len(x_sub)}{tag}.npy"
         )
         if os.path.exists(cache_file):
             return np.load(cache_file).astype(np.int32)
@@ -108,10 +111,11 @@ def run_largescale(
     x_sub = np.ascontiguousarray(x_d[sub_idx])
     fprint(f">> subset: {nd_sub}/{n_d} rows for training", fw)
 
-    # (2) labels on the subset
-    sub_cfg = cfg
-    knn_sub = get_self_knn(x_sub, sub_cfg, use_cache=use_cache)
-    knn_query_sub = query_knn_on_subset(x_sub, x_q, cfg, use_cache=use_cache)
+    # (2) labels on the subset — caches keyed by subset membership, not just
+    # size: a different seed yields different rows at the same nd_sub
+    sub_tag = f"seed{cfg.seed}"
+    knn_sub = get_self_knn(x_sub, cfg, use_cache=use_cache, cache_tag=sub_tag)
+    knn_query_sub = query_knn_on_subset(x_sub, x_q, cfg, use_cache=use_cache, cache_tag=sub_tag)
 
     # (3) subset partitioning + model training
     with stage_timer("build kmeans (subset)", fw):

@@ -40,14 +40,22 @@ from ..partition.kmeans import kmeans_assign, kmeans_fit
 from ..redundancy.assign import apply_redundancy, select_top_ratio
 
 
-def get_self_knn(x_d: np.ndarray, cfg: Config, use_cache: bool = True) -> np.ndarray:
+def get_self_knn(
+    x_d: np.ndarray, cfg: Config, use_cache: bool = True, cache_tag: str = ""
+) -> np.ndarray:
     """3-tier self-kNN provider: cache hit or TPU brute-force + cache write
     (reference: utils.py:223-319 + compute_knn.cpp).
 
     On TPU the fused two-round Pallas path is used (no score
-    materialization); elsewhere the XLA streaming kernel."""
+    materialization) at f32 selection precision — the cache is labeled exact
+    and consumed under the reference's exact-cache contract, so the bf16
+    round-1 screen is not used here; elsewhere the XLA streaming kernel.
+
+    `cache_tag` must identify the row *membership* when x_d is a subset of
+    the dataset (e.g. the large-scale training sample): (dataset, k, n)
+    alone would collide across different subsets of the same size."""
     if use_cache and cfg.dataset:
-        cached = load_knn_cache(cfg.data_path, cfg.dataset, cfg.k, len(x_d))
+        cached = load_knn_cache(cfg.data_path, cfg.dataset, cfg.k, len(x_d), tag=cache_tag)
         if cached is not None:
             return cached
     t0 = time.perf_counter()
@@ -56,7 +64,7 @@ def get_self_knn(x_d: np.ndarray, cfg: Config, use_cache: bool = True) -> np.nda
     if jax.default_backend() == "tpu":
         from ..ops.knn_pallas import self_knn_fused
 
-        knn = self_knn_fused(x_d, cfg.k, metric=cfg.dis_metric)
+        knn = self_knn_fused(x_d, cfg.k, metric=cfg.dis_metric, precision="highest")
     else:
         knn = self_knn(x_d, cfg.k, metric=cfg.dis_metric)
     elapsed = time.perf_counter() - t0
@@ -65,6 +73,7 @@ def get_self_knn(x_d: np.ndarray, cfg: Config, use_cache: bool = True) -> np.nda
             save_knn_cache(
                 cfg.data_path, cfg.dataset, knn, dim=x_d.shape[1],
                 method="tpu_flat_exact", timings={"search_time": round(elapsed, 3)},
+                tag=cache_tag,
             )
         except OSError:
             pass  # read-only dataset dir: skip caching

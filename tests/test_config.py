@@ -45,6 +45,13 @@ def test_cli_parse():
     assert cfg.dis_metric == "inner_product"
 
 
+def test_cli_bool_flags():
+    base = ["--dataset", "sift", "--k", "10", "--n_bkt", "64"]
+    assert parse_config(base + ["--run_diagnostics", "False"]).run_diagnostics is False
+    assert parse_config(base + ["--run_diagnostics", "true"]).run_diagnostics is True
+    assert parse_config(base).run_diagnostics is False
+
+
 def test_ascii_table():
     t = ascii_table(["A", "Long header"], [[1, 2.34567], [10, 0.5]])
     lines = t.splitlines()

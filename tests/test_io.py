@@ -87,3 +87,16 @@ def test_knn_cache_prefers_ivf(tmp_path):
 
 def test_cache_miss_returns_none(tmp_path):
     assert load_knn_cache(str(tmp_path), "nope", 4, 10) is None
+
+
+def test_knn_cache_tag_isolates_subsets(tmp_path):
+    """Subset caches with different membership tags must not collide, and a
+    tagged lookup must never fall back to an untagged (full-set) cache."""
+    knn_a = np.zeros((10, 4), dtype=np.int32)
+    knn_b = np.ones((10, 4), dtype=np.int32)
+    save_knn_cache(str(tmp_path), "toy", knn_a, dim=8, method="exact", tag="seed1")
+    save_knn_cache(str(tmp_path), "toy", knn_b, dim=8, method="exact", tag="seed2")
+    np.testing.assert_array_equal(load_knn_cache(str(tmp_path), "toy", 4, 10, tag="seed1"), knn_a)
+    np.testing.assert_array_equal(load_knn_cache(str(tmp_path), "toy", 4, 10, tag="seed2"), knn_b)
+    assert load_knn_cache(str(tmp_path), "toy", 4, 10) is None  # untagged: miss
+    assert load_knn_cache(str(tmp_path), "toy", 4, 10, tag="seed3") is None
