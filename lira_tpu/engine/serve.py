@@ -147,38 +147,60 @@ class QueryEngine:
         metric: str = "L2",
         tile: int | None = None,
         n_mul: int = 2,
-        scan_impl: str = "xla",  # 'xla' | 'pallas'
+        scan_impl: str = "auto",  # 'auto' | 'blocked' | 'xla' | 'pallas'
         scan_dtype: str = "float32",  # 'float32' | 'bfloat16' (fast mode)
         probe_cap: int | None = None,  # device-side top-M bucket selection
+        block_q: int = 256,  # blocked scan: queries per union block
+        block_margin: int | None = None,  # blocked scan: extra tiles selected
     ):
-        """scan_dtype='bfloat16' stores the corpus in bf16 — half the HBM
-        bytes per scanned candidate (the QPS ceiling for selective scan) —
-        and re-ranks the over-fetched candidate set with exact f32 scores
-        before returning, so final neighbor ordering stays f32-exact up to
-        candidates the bf16 screen drops from the over-fetch margin."""
+        """scan_impl:
+          'blocked' — throughput path: queries grouped by top bucket share
+            one DMA of each probed tile (engine/block_scan.py); bf16 mode
+            halves round-1 HBM bytes and re-ranks exactly in f32 on device.
+          'xla'/'pallas' — per-query latency paths: bytes = each query's own
+            padded ndis; bf16 mode over-fetches and re-ranks on host.
+          'auto' — 'blocked' on TPU, 'xla' elsewhere (Pallas kernels run
+            interpreted off-TPU, too slowly for a default)."""
+        if scan_impl == "auto":
+            scan_impl = "blocked" if jax.default_backend() == "tpu" else "xla"
         self.metric = metric
         self.n_mul = max(1, n_mul)
         self.scan_impl = scan_impl
         self.probe_cap = probe_cap
         self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
+        self.block_q = block_q
+        self.block_margin = block_margin
         self.tile = tile or layout.tile
         self.layout = layout
         x_d = np.asarray(x_d, dtype=np.float32)
         dim = x_d.shape[1]
         self._x_d = x_d
 
-        padded = layout.gather_vectors(x_d)  # (padded_total, dim)
-        n_tiles = padded.shape[0] // self.tile
-        self.corpus = jnp.asarray(padded.reshape(n_tiles, self.tile, dim), self.scan_dtype)
-        ids = layout.padded_ids.reshape(n_tiles, self.tile)
-        self.corpus_ids = jnp.asarray(ids)
-        sq = (padded * padded).sum(axis=1).reshape(n_tiles, self.tile)
-        sq = np.where(ids >= 0, sq, np.inf).astype(np.float32)
-        self.corpus_sq = jnp.asarray(sq)
-
         self.tile_start = (layout.padded_offsets[:-1] // self.tile).astype(np.int64)
         self.tiles_per_bucket = (layout.padded_sizes // self.tile).astype(np.int64)
         self.sizes = layout.sizes  # true ndis per bucket
+
+        padded = layout.gather_vectors(x_d)  # (padded_total, dim)
+        n_tiles = padded.shape[0] // self.tile
+        if scan_impl == "blocked":
+            from .block_scan import BlockScanState
+
+            tile_bucket = np.repeat(
+                np.arange(layout.n_bkt, dtype=np.int32), self.tiles_per_bucket
+            )
+            self._block_state = BlockScanState(
+                padded, layout.padded_ids, tile_bucket, metric, self.scan_dtype,
+                tile=self.tile,
+            )
+            self.corpus = None  # per-query scan corpora not materialized
+            self.corpus_ids = self.corpus_sq = None
+        else:
+            self.corpus = jnp.asarray(padded.reshape(n_tiles, self.tile, dim), self.scan_dtype)
+            ids = layout.padded_ids.reshape(n_tiles, self.tile)
+            self.corpus_ids = jnp.asarray(ids)
+            sq = (padded * padded).sum(axis=1).reshape(n_tiles, self.tile)
+            sq = np.where(ids >= 0, sq, np.inf).astype(np.float32)
+            self.corpus_sq = jnp.asarray(sq)
 
         self.centroids = jnp.asarray(centroids, dtype=jnp.float32)
         self.scaler_mean = jnp.asarray(scaler.mean_)
@@ -240,11 +262,13 @@ class QueryEngine:
 
     # ---------- end-to-end search ----------
 
-    def _select_probed(self, q: jax.Array, threshold: float) -> np.ndarray:
-        """(B, n_bkt) bool probed mask — dense path or capped top-M path."""
+    def _select_probed(self, q: jax.Array, threshold: float) -> tuple[np.ndarray, np.ndarray]:
+        """((B, n_bkt) bool probed mask, (B,) top-1 bucket id) — dense path
+        or capped top-M path.  The top-1 bucket doubles as the blocked scan's
+        query-grouping key (similar queries → overlapping probed tiles)."""
         if self.probe_cap is None:
             outputs = np.asarray(self._probe_jit(q))
-            return self.select_buckets(outputs, threshold)
+            return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
         m = min(self.probe_cap, self.layout.n_bkt)
         vals, idx = _probe_topm(
             self.params, self.centroids, self.scaler_mean, self.scaler_scale, q, m
@@ -256,7 +280,7 @@ class QueryEngine:
         probed = np.zeros((B, self.layout.n_bkt), dtype=bool)
         rows = np.repeat(np.arange(B), valid.sum(axis=1))
         probed[rows, idx[valid]] = True
-        return probed
+        return probed, idx[:, 0]
 
     def _scan(self, q: jax.Array, tiles: np.ndarray, fetch_k: int):
         if self.scan_impl == "pallas" and fetch_k <= 128:
@@ -293,7 +317,25 @@ class QueryEngine:
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
         q = jnp.asarray(queries)
-        probed = self._select_probed(q, threshold)
+        probed, top1 = self._select_probed(q, threshold)
+
+        if self.scan_impl == "blocked":
+            from .block_scan import blocked_search
+
+            fetch_k = k * self.n_mul  # dedup slots; round 2 is f32-exact
+            scores, ids = blocked_search(
+                self._block_state, queries, probed, top1,
+                self.tile_start, self.tiles_per_bucket, fetch_k, self.metric,
+                block_q=self.block_q, margin=self.block_margin,
+            )
+            ids, scores = _dedup_topk(ids, scores, k)
+            return SearchResult(
+                ids=ids, scores=scores,
+                nprobe=probed.sum(axis=1),
+                ndis=(probed @ self.sizes.astype(np.int64)),
+                elapsed=time.perf_counter() - t0,
+            )
+
         tiles = self._probe_tiles(probed)
         # scan with n_mul × k slots so replicas can be deduplicated to k
         # distinct; bf16 mode over-fetches extra slots for the f32 re-rank

@@ -66,3 +66,20 @@ def l2_to_centroids(x: jax.Array, centroids: jax.Array, precision: str = "highes
     s = pairwise_scores(x, centroids, metric="L2", precision=precision)
     d2 = scores_to_distances(s, x, metric="L2")
     return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def row_sqnorms(x, chunk: int = 1 << 20):
+    """Host-side f32 row squared norms, accumulated in f64 per chunk.
+
+    Avoids the `x.astype(float64)` full-array temporary (10 GB at 10M×128)
+    that a naive `(x**2).sum(1)` in double precision would allocate.
+    """
+    import numpy as np
+
+    n = x.shape[0]
+    out = np.empty(n, np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        blk = x[s:e]
+        out[s:e] = np.einsum("ij,ij->i", blk, blk, dtype=np.float64).astype(np.float32)
+    return out

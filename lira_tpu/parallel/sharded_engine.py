@@ -1,18 +1,24 @@
 """Multi-chip query serving: corpus sharded over the mesh, top-k merged over ICI.
 
 Buckets are distributed across devices with a greedy balanced partition
-(largest bucket → least-loaded device).  Queries are replicated; each
-device scans only its local probed tiles; per-device top-k results are
-all_gather'ed over the mesh axis (k is tiny — one (n_dev, B, k) gather) and
-re-merged.  This is the scaling axis the reference lacks entirely
+(largest bucket → least-loaded device).  Queries are replicated; each device
+runs the *blocked union scan* over its local probed tiles (the same
+group-min screen → masked select → exact f32 rescan as the single-chip
+engine/block_scan.py, in XLA-gather form so it runs inside shard_map on any
+backend); per-device top-fetch_k results are all_gather'ed over the mesh
+axis and re-merged.  This is the scaling axis the reference lacks entirely
 (SURVEY.md §2.4: OpenMP-only) and the BIGANN-100M configuration of
 BASELINE.json.
+
+At-scale construction: per-device tile tables are built and uploaded one
+device at a time (jax.device_put per shard + make_array_from_single_device_
+arrays) — peak host staging is x_d plus a single device's tables, never the
+whole padded corpus (tested: tests/test_parallel.py skewed-memory test).
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -21,8 +27,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..labels.scaler import StandardScaler
-from ..engine.serve import SearchResult, _dedup_topk, _probe
+from ..engine.serve import SearchResult, _dedup_topk, _probe, _probe_topm
+from ..ops.distance import row_sqnorms
 from ..partition.assign import BucketLayout
+
+_BIG = 3e38
 
 
 def balanced_bucket_split(padded_sizes: np.ndarray, n_dev: int) -> list[np.ndarray]:
@@ -37,40 +46,99 @@ def balanced_bucket_split(padded_sizes: np.ndarray, n_dev: int) -> list[np.ndarr
     return [np.array(sorted(g), dtype=np.int64) for g in groups]
 
 
-def _local_scan(q, tile_idx, corpus, corpus_ids, corpus_sq, k: int, metric: str, axis: str):
-    """Per-device scan + cross-device merge; runs inside shard_map."""
-    # leading device axis of the stacked inputs is squeezed inside the shard
-    tile_idx, corpus = tile_idx[0], corpus[0]
-    corpus_ids, corpus_sq = corpus_ids[0], corpus_sq[0]
-    B, T = tile_idx.shape
+def _local_blocked_scan(
+    q, probed, sel, tb, corpus, bsq, ids,
+    *, fetch_k: int, kg: int, metric: str, axis: str, tile: int, chunk: int, sub: int,
+):
+    """Per-device blocked union scan + cross-device merge; runs inside shard_map.
 
-    def step(carry, t):
-        best_neg, best_id = carry
-        idx = tile_idx[:, t]
-        safe = jnp.maximum(idx, 0)
-        vec = corpus[safe]
-        ids = corpus_ids[safe]
-        dot = jnp.einsum("bd,brd->br", q, vec, precision="highest", preferred_element_type=jnp.float32)
-        score = -dot if metric == "inner_product" else corpus_sq[safe] - 2.0 * dot
-        dead = (idx[:, None] < 0) | (ids < 0)
-        neg = jnp.where(dead, -jnp.inf, -score)
-        m_neg = jnp.concatenate([best_neg, neg], axis=1)
-        m_id = jnp.concatenate([best_id, ids], axis=1)
-        new_neg, sel = jax.lax.top_k(m_neg, k)
-        return (new_neg, jnp.take_along_axis(m_id, sel, axis=1)), None
+    sel: (1, U) local tile ids of this device's probed-bucket union (-1 pad);
+    tb:  (1, U) bucket id per union tile (-1 pad);
+    corpus/bsq/ids: (1, t_pad, tile, d) / (1, t_pad, tile) local tables.
+    """
+    sel, tb = sel[0], tb[0]
+    corpus, bsq, ids = corpus[0], bsq[0], ids[0]
+    B, d = q.shape
+    U = sel.shape[0]
+    n_chunks = U // chunk
 
-    init = (jnp.full((B, k), -jnp.inf, jnp.float32), jnp.full((B, k), -1, jnp.int32))
-    (neg, ids), _ = jax.lax.scan(step, init, jnp.arange(T))
+    # round 1: streamed group-min over the union (never materializes (B, U·tile))
+    def gbody(_, i):
+        s = jax.lax.dynamic_slice_in_dim(sel, i * chunk, chunk)
+        safe = jnp.maximum(s, 0)
+        vec = corpus[safe].reshape(chunk * tile, d)
+        sq = bsq[safe].reshape(1, chunk * tile)
+        dot = jax.lax.dot_general(
+            q, vec, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision="highest", preferred_element_type=jnp.float32,
+        )
+        scores = sq - dot if metric == "inner_product" else sq - 2.0 * dot
+        gmin = scores.reshape(B, chunk, tile).min(axis=-1)
+        return None, gmin + jnp.where(s < 0, _BIG, 0.0)[None, :]
 
-    # ICI merge: gather every shard's top-k and re-rank
-    all_neg = jax.lax.all_gather(neg, axis)  # (n_dev, B, k)
-    all_ids = jax.lax.all_gather(ids, axis)
+    _, gmins = jax.lax.scan(gbody, None, jnp.arange(n_chunks))
+    gmin = jnp.moveaxis(gmins, 0, 1).reshape(B, U)
+
+    # probed-penalty mask per (query, bucket), expanded to union tiles
+    pen_b = jnp.where(probed.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, B)
+    pen_b = jnp.concatenate([pen_b, jnp.full((1, B), _BIG, jnp.float32)], axis=0)
+    tbx = jnp.where(tb >= 0, tb, pen_b.shape[0] - 1)
+    masked = gmin + pen_b[tbx].T
+
+    kg_eff = min(kg, U)
+    vals, usel = jax.lax.top_k(-masked, kg_eff)
+    gsel = jnp.maximum(sel[usel], 0)  # (B, kg_eff)
+    valid = vals > -(_BIG / 2)
+
+    # round 2: exact rescan of the selected tiles, in query sub-batches
+    k_loc = min(fetch_k, kg_eff * tile)
+
+    def rbody(args):
+        qs, sg, val = args
+        vec = corpus[sg]  # (sub, kg, tile, d) tile-granular gather
+        dotr = jnp.einsum(
+            "stgd,sd->stg", vec, qs, precision="highest",
+            preferred_element_type=jnp.float32,
+        )
+        sqr = bsq[sg]
+        sc = sqr - dotr if metric == "inner_product" else sqr - 2.0 * dotr
+        idg = ids[sg]
+        sc = sc + jnp.where(val, 0.0, _BIG)[:, :, None]
+        sc = jnp.where(idg >= 0, sc, _BIG)
+        n = qs.shape[0]
+        neg, pos = jax.lax.top_k(-sc.reshape(n, kg_eff * tile), k_loc)
+        oid = jnp.take_along_axis(idg.reshape(n, kg_eff * tile), pos, axis=1)
+        return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
+
+    sub_eff = sub if B % sub == 0 else B
+    n_sub = B // sub_eff
+    neg, out_ids = jax.lax.map(
+        rbody,
+        (
+            q.reshape(n_sub, sub_eff, d),
+            gsel.reshape(n_sub, sub_eff, kg_eff),
+            valid.reshape(n_sub, sub_eff, kg_eff),
+        ),
+    )
+    neg = neg.reshape(B, k_loc)
+    out_ids = out_ids.reshape(B, k_loc)
+    if k_loc < fetch_k:  # tiny shard: pad so the cross-device merge is uniform
+        pad = fetch_k - k_loc
+        neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)
+        out_ids = jnp.concatenate([out_ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
+
+    # ICI merge: gather every shard's top-fetch_k and re-rank
+    all_neg = jax.lax.all_gather(neg, axis)  # (n_dev, B, fetch_k)
+    all_ids = jax.lax.all_gather(out_ids, axis)
     n_dev = all_neg.shape[0]
-    flat_neg = jnp.moveaxis(all_neg, 0, 1).reshape(B, n_dev * k)
-    flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, n_dev * k)
-    best_neg, sel = jax.lax.top_k(flat_neg, k)
-    best_ids = jnp.take_along_axis(flat_ids, sel, axis=1)
-    return -best_neg, best_ids
+    flat_neg = jnp.moveaxis(all_neg, 0, 1).reshape(B, n_dev * fetch_k)
+    flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, n_dev * fetch_k)
+    best_neg, msel = jax.lax.top_k(flat_neg, fetch_k)
+    return -best_neg, jnp.take_along_axis(flat_ids, msel, axis=1)
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
 
 
 class ShardedQueryEngine:
@@ -87,11 +155,17 @@ class ShardedQueryEngine:
         metric: str = "L2",
         axis: str = "data",
         n_mul: int = 2,
+        probe_cap: int | None = None,
+        block_q: int = 256,
+        margin: int = 8,
     ):
         self.mesh = mesh
         self.axis = axis
         self.metric = metric
         self.n_mul = max(1, n_mul)
+        self.probe_cap = probe_cap
+        self.block_q = block_q
+        self.margin = margin
         self.layout = layout
         self.tile = layout.tile
         n_dev = mesh.devices.size
@@ -100,57 +174,75 @@ class ShardedQueryEngine:
 
         groups = balanced_bucket_split(layout.padded_sizes, n_dev)
         self.groups = groups
-        tiles_per_bucket = (layout.padded_sizes // self.tile).astype(np.int64)
-        tile_start_global = (layout.padded_offsets[:-1] // self.tile).astype(np.int64)
+        self.tiles_per_bucket = (layout.padded_sizes // self.tile).astype(np.int64)
+        self.sizes = layout.sizes
 
-        # per-device local tile tables (padded to the max local tile count)
-        local_tiles = [int(tiles_per_bucket[g].sum()) for g in groups]
-        t_local = max(max(local_tiles), 1)
-        corpus = np.zeros((n_dev, t_local, self.tile, dim), np.float32)
-        corpus_ids = np.full((n_dev, t_local, self.tile), -1, np.int32)
-        # local tile ranges per bucket, per device
+        local_tiles = [int(self.tiles_per_bucket[g].sum()) for g in groups]
+        t_pad = max(_pow2ceil(max(local_tiles)), 1)
+        self.t_pad = t_pad
+        # local tile ranges per bucket, per device + local tile → bucket map
         self.local_tile_start = np.full((n_dev, layout.n_bkt), -1, np.int64)
-        padded = layout.gather_vectors(x_d).reshape(-1, self.tile, dim)
-        pad_ids = layout.padded_ids.reshape(-1, self.tile)
+        self.tile_bucket = np.full((n_dev, t_pad), -1, np.int32)
         for d, g in enumerate(groups):
             pos = 0
             for b in g:
-                nt = int(tiles_per_bucket[b])
+                nt = int(self.tiles_per_bucket[b])
                 if nt == 0:
                     continue
-                src = tile_start_global[b]
-                corpus[d, pos : pos + nt] = padded[src : src + nt]
-                corpus_ids[d, pos : pos + nt] = pad_ids[src : src + nt]
                 self.local_tile_start[d, b] = pos
+                self.tile_bucket[d, pos : pos + nt] = b
                 pos += nt
-        sq = (corpus * corpus).sum(axis=-1)
-        corpus_sq = np.where(corpus_ids >= 0, sq, np.inf).astype(np.float32)
+
+        p_off = layout.padded_offsets
+
+        def _device_tables(d: int):
+            """One device's (vectors, ids) tile tables — staged host memory
+            is a single shard, not the whole corpus."""
+            vec = np.zeros((t_pad * self.tile, dim), np.float32)
+            idt = np.full(t_pad * self.tile, -1, np.int32)
+            for b in groups[d]:
+                nt = int(self.tiles_per_bucket[b])
+                if nt == 0:
+                    continue
+                pos = int(self.local_tile_start[d, b]) * self.tile
+                pid = layout.padded_ids[p_off[b] : p_off[b + 1]]
+                ok = pid >= 0
+                seg = np.zeros((nt * self.tile, dim), np.float32)
+                seg[ok] = x_d[pid[ok]]
+                vec[pos : pos + nt * self.tile] = seg
+                idt[pos : pos + nt * self.tile] = pid
+            return vec.reshape(t_pad, self.tile, dim), idt.reshape(t_pad, self.tile)
 
         shard = NamedSharding(mesh, P(axis))
-        self.corpus = jax.device_put(jnp.asarray(corpus), shard)
-        self.corpus_ids = jax.device_put(jnp.asarray(corpus_ids), shard)
-        self.corpus_sq = jax.device_put(jnp.asarray(corpus_sq), shard)
-        self.tiles_per_bucket = tiles_per_bucket
-        self.sizes = layout.sizes
+        devs = list(mesh.devices.flat)
+        vec_shards, id_shards, sq_shards = [], [], []
+        for d in range(n_dev):
+            vec, idt = _device_tables(d)
+            if metric == "inner_product":
+                sq = np.where(idt >= 0, 0.0, _BIG).astype(np.float32)
+            else:
+                sq = row_sqnorms(vec.reshape(t_pad * self.tile, dim)).reshape(t_pad, self.tile)
+                sq = np.where(idt >= 0, sq, _BIG).astype(np.float32)
+            # upload shard-by-shard: host staging never exceeds one device's
+            # tables (plus x_d), regardless of corpus size
+            vec_shards.append(jax.device_put(vec[None], devs[d]))
+            id_shards.append(jax.device_put(idt[None], devs[d]))
+            sq_shards.append(jax.device_put(sq[None], devs[d]))
+            del vec, idt, sq
+
+        full = (n_dev, t_pad, self.tile, dim)
+        self.corpus = jax.make_array_from_single_device_arrays(full, shard, vec_shards)
+        self.corpus_ids = jax.make_array_from_single_device_arrays(full[:3], shard, id_shards)
+        self.corpus_sq = jax.make_array_from_single_device_arrays(full[:3], shard, sq_shards)
 
         self.centroids = jnp.asarray(centroids, dtype=jnp.float32)
         self.scaler_mean = jnp.asarray(scaler.mean_)
         self.scaler_scale = jnp.asarray(scaler.scale_)
         self.params = params
 
-        self._scan_cache: dict[int, object] = {}
+        self._scan_cache: dict[tuple, object] = {}
 
-    def _scan_fn(self, k: int):
-        if k not in self._scan_cache:
-            fn = jax.shard_map(
-                partial(_local_scan, k=k, metric=self.metric, axis=self.axis),
-                mesh=self.mesh,
-                in_specs=(P(), P(self.axis), P(self.axis), P(self.axis), P(self.axis)),
-                out_specs=(P(), P()),
-                check_vma=False,
-            )
-            self._scan_cache[k] = jax.jit(fn)
-        return self._scan_cache[k]
+    # ---------- probing ----------
 
     def probe(self, queries: np.ndarray) -> np.ndarray:
         return np.asarray(
@@ -165,52 +257,112 @@ class ShardedQueryEngine:
             probed[empty, outputs[empty].argmax(axis=1)] = True
         return probed
 
-    def _probe_tiles_local(self, probed: np.ndarray) -> np.ndarray:
-        """(n_dev, B, T) per-device local tile lists for each query."""
+    def _select_probed(self, q, threshold: float):
+        """((B, n_bkt) probed, (B,) top-1 bucket) — dense or probe_cap path
+        (QueryEngine._select_probed semantics)."""
+        if self.probe_cap is None:
+            outputs = np.asarray(
+                _probe(self.params, self.centroids, self.scaler_mean, self.scaler_scale, q)
+            )
+            return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
+        m = min(self.probe_cap, self.layout.n_bkt)
+        vals, idx = _probe_topm(
+            self.params, self.centroids, self.scaler_mean, self.scaler_scale, q, m
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        valid = vals >= threshold
+        valid[:, 0] = True
+        B = len(vals)
+        probed = np.zeros((B, self.layout.n_bkt), dtype=bool)
+        rows = np.repeat(np.arange(B), valid.sum(axis=1))
+        probed[rows, idx[valid]] = True
+        return probed, idx[:, 0]
+
+    # ---------- scan ----------
+
+    def _scan_fn(self, fetch_k: int, kg: int, U: int, chunk: int):
+        key = (fetch_k, kg, U, chunk)
+        if key not in self._scan_cache:
+            fn = jax.shard_map(
+                partial(
+                    _local_blocked_scan, fetch_k=fetch_k, kg=kg, metric=self.metric,
+                    axis=self.axis, tile=self.tile, chunk=chunk, sub=64,
+                ),
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(self.axis), P(self.axis), P(self.axis),
+                          P(self.axis), P(self.axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            self._scan_cache[key] = jax.jit(fn)
+        return self._scan_cache[key]
+
+    def _block_unions(self, probed_any: np.ndarray):
+        """(n_dev, U) local union tile lists + (n_dev, U) bucket ids."""
         n_dev = len(self.groups)
-        B = probed.shape[0]
         per_dev = []
-        t_max = 1
         for d in range(n_dev):
-            rows, bs = np.nonzero(probed[:, :] & (self.local_tile_start[d] >= 0)[None, :])
+            owned = self.local_tile_start[d] >= 0
+            bs = np.nonzero(probed_any & owned)[0]
             reps = self.tiles_per_bucket[bs]
-            keep = reps > 0
-            rows, bs, reps = rows[keep], bs[keep], reps[keep]
             total = int(reps.sum())
             if total == 0:
-                per_dev.append((np.zeros(0, np.int64), np.zeros(0, np.int32)))
+                per_dev.append(np.zeros(0, np.int32))
                 continue
             starts = np.repeat(self.local_tile_start[d, bs], reps)
             cum = np.cumsum(reps) - reps
             within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
-            tiles_flat = (starts + within).astype(np.int32)
-            rows_flat = np.repeat(rows, reps)
-            per_dev.append((rows_flat, tiles_flat))
-            cnt = np.bincount(rows_flat, minlength=B)
-            t_max = max(t_max, int(cnt.max()))
-        T = 1 << int(np.ceil(np.log2(t_max)))
-        out = np.full((n_dev, B, T), -1, np.int32)
-        for d, (rows_flat, tiles_flat) in enumerate(per_dev):
-            if len(rows_flat) == 0:
-                continue
-            cnt = np.bincount(rows_flat, minlength=B)
-            start = np.cumsum(cnt) - cnt
-            pos = np.arange(len(rows_flat), dtype=np.int64) - start[rows_flat]
-            out[d, rows_flat, pos] = tiles_flat
-        return out
+            per_dev.append((starts + within).astype(np.int32))
+        u_max = max(max(len(t) for t in per_dev), 1)
+        chunk = min(16, _pow2ceil(u_max))
+        U = max(chunk, ((u_max + chunk - 1) // chunk) * chunk)
+        U = _pow2ceil(U) if U > chunk else U
+        sel = np.full((n_dev, U), -1, np.int32)
+        tb = np.full((n_dev, U), -1, np.int32)
+        for d, t in enumerate(per_dev):
+            sel[d, : len(t)] = t
+            tb[d, : len(t)] = self.tile_bucket[d, t]
+        return sel, tb, U, chunk
 
     def search(self, queries: np.ndarray, threshold: float, k: int) -> SearchResult:
         t0 = time.perf_counter()
-        q = jnp.asarray(queries, jnp.float32)
-        outputs = self.probe(queries)
-        probed = self.select_buckets(outputs, threshold)
-        tiles = self._probe_tiles_local(probed)
+        queries = np.asarray(queries, np.float32)
+        q = jnp.asarray(queries)
+        probed, top1 = self._select_probed(q, threshold)
+        B = len(queries)
+        n_bkt = self.layout.n_bkt
+
+        fetch_k = k * self.n_mul
+        block_q = max(8, min(self.block_q, _pow2ceil(B)))
+        order = np.argsort(top1, kind="stable")
+        out_ids = np.full((B, fetch_k), -1, np.int32)
+        out_scores = np.full((B, fetch_k), np.inf, np.float32)
         shard = NamedSharding(self.mesh, P(self.axis))
-        tiles_dev = jax.device_put(jnp.asarray(tiles), shard)
-        scores, ids = self._scan_fn(k * self.n_mul)(
-            q, tiles_dev, self.corpus, self.corpus_ids, self.corpus_sq
-        )
-        ids, scores = _dedup_topk(np.asarray(ids), np.asarray(scores), k)
+
+        for s in range(0, B, block_q):
+            blk = order[s : s + block_q]
+            nsel = len(blk)
+            probed_blk = probed[blk]
+            sel, tb, U, chunk = self._block_unions(probed_blk.any(axis=0))
+            if nsel < block_q:
+                q_blk = np.zeros((block_q, queries.shape[1]), np.float32)
+                q_blk[:nsel] = queries[blk]
+                p_blk = np.zeros((block_q, n_bkt), bool)
+                p_blk[:nsel] = probed_blk
+            else:
+                q_blk, p_blk = queries[blk], probed_blk
+            kg = fetch_k + self.margin
+            fn = self._scan_fn(fetch_k, kg, U, chunk)
+            sc, ids = fn(
+                jnp.asarray(q_blk), jnp.asarray(p_blk),
+                jax.device_put(jnp.asarray(sel), shard),
+                jax.device_put(jnp.asarray(tb), shard),
+                self.corpus, self.corpus_sq, self.corpus_ids,
+            )
+            out_ids[blk] = np.asarray(ids[:nsel])
+            out_scores[blk] = np.asarray(sc[:nsel])
+
+        ids, scores = _dedup_topk(out_ids, out_scores, k)
         elapsed = time.perf_counter() - t0
         return SearchResult(
             ids=ids,

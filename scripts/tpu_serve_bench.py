@@ -64,8 +64,14 @@ def main():
     scaler = StandardScaler().fit(raw)
     params = init_params(jax.random.PRNGKey(0), n_bkt, d)
 
-    for impl in ("xla", "pallas"):
-        eng = QueryEngine(x_d, layout, km.centroids, scaler, params, scan_impl=impl, probe_cap=128)
+    impls = [
+        ("blocked", dict(scan_impl="blocked")),
+        ("blocked-bf16", dict(scan_impl="blocked", scan_dtype="bfloat16")),
+        ("xla", dict(scan_impl="xla")),
+        ("pallas", dict(scan_impl="pallas")),
+    ]
+    for name, kw in impls:
+        eng = QueryEngine(x_d, layout, km.centroids, scaler, params, probe_cap=128, **kw)
         outputs = eng.probe(x_q[:512])
         for target_nprobe in (8, 32, 96):
             thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
@@ -74,11 +80,12 @@ def main():
             r = eng.search(x_q, thr, 10)
             dt = time.time() - t0
             print(
-                f"serve[{impl}] nprobe≈{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f} "
+                f"serve[{name}] nprobe≈{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f} "
                 f"({100 * r.ndis.mean() / n:.2f}% corpus): {batch / dt:.0f} QPS "
                 f"({1e6 * dt / batch:.0f} us/q e2e)",
                 flush=True,
             )
+        del eng
 
 
 if __name__ == "__main__":

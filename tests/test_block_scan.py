@@ -1,0 +1,102 @@
+"""Blocked (query-union) scan parity vs the per-query XLA engine.
+
+The blocked scan is an execution strategy, not a different search: for every
+threshold it must return identical neighbor sets, nprobe and ndis to the
+reference-semantics per-query scan (engine/serve.py `_scan_probed_tiles`).
+"""
+
+import numpy as np
+import pytest
+
+
+def _build(rng, metric, n=1600, dim=16, n_bkt=7, n_mul=2, **eng_kw):
+    import jax
+    import jax.numpy as jnp
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(33, dim)).astype(np.float32)
+    d2b = np.full((n, n_mul), -1, dtype=np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    if n_mul > 1:  # replicate a slice of points: exercises dedup-to-k-distinct
+        repl = rng.integers(0, n, size=n // 10)
+        d2b[repl, 1] = (d2b[repl, 0] + 1) % n_bkt
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    km = kmeans_fit(x_d, n_bkt, niter=3, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+
+    e_ref = QueryEngine(x_d, layout, km.centroids, scaler, params, metric=metric,
+                        n_mul=n_mul, scan_impl="xla")
+    e_blk = QueryEngine(x_d, layout, km.centroids, scaler, params, metric=metric,
+                        n_mul=n_mul, scan_impl="blocked", **eng_kw)
+    return x_q, e_ref, e_blk
+
+
+@pytest.mark.parametrize("metric", ["L2", "inner_product"])
+def test_blocked_matches_xla(rng, metric):
+    x_q, e_ref, e_blk = _build(rng, metric)
+    for thr in (0.0, 0.45, 0.7):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_blk.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.nprobe, r2.nprobe)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+
+
+def test_blocked_bf16_matches(rng):
+    """bf16 round-1 screen + f32 round-2 rescore: exact at default margin."""
+    x_q, e_ref, e_blk = _build(rng, "L2", scan_dtype="bfloat16")
+    for thr in (0.0, 0.5):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_blk.search(x_q, thr, k=5)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+
+
+def test_blocked_small_block_q(rng):
+    """Tail blocks (B not a multiple of block_q) must pad correctly."""
+    x_q, e_ref, e_blk = _build(rng, "L2", block_q=16)
+    r1 = e_ref.search(x_q, 0.5, k=4)
+    r2 = e_blk.search(x_q, 0.5, k=4)
+    np.testing.assert_array_equal(r1.ndis, r2.ndis)
+    for i in range(len(x_q)):
+        assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0])
+
+
+def test_blocked_empty_and_tiny_buckets(rng):
+    """Empty buckets and k > bucket members: -1 fill, no crash."""
+    import jax
+    import jax.numpy as jnp
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    n, dim, n_bkt = 40, 8, 6
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(5, dim)).astype(np.float32)
+    d2b = np.zeros((n, 1), dtype=np.int32)  # all points in bucket 0; 1..5 empty
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    km = kmeans_fit(x_d, n_bkt, niter=2, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+    eng = QueryEngine(x_d, layout, km.centroids, scaler, params, scan_impl="blocked")
+
+    res = eng.search(x_q, 0.0, k=50)  # k > n: padded with -1
+    assert res.ids.shape == (5, 50)
+    gt = np.argsort(((x_d[None] - x_q[:, None]) ** 2).sum(-1), axis=1)
+    for i in range(5):
+        got = res.ids[i][res.ids[i] >= 0]
+        assert set(got) == set(gt[i])  # every real point found exactly once
+        assert (res.ids[i][len(got):] == -1).all()

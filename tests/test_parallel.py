@@ -105,3 +105,79 @@ def test_sharded_engine_matches_single_device():
             s1 = set(int(v) for v in r1.ids[i] if v >= 0)
             s8 = set(int(v) for v in r8.ids[i] if v >= 0)
             assert s1 == s8, f"thr={thr} query {i}"
+
+
+@needs_8
+def test_sharded_engine_skewed_construction_memory():
+    """Heavily skewed buckets: construction must stage one device's tables at
+    a time, not a dense (n_dev, max_tiles, tile, dim) host array."""
+    import tracemalloc
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n, dim, n_bkt = 20_000, 32, 16
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    # one giant bucket + tiny ones: the dense layout would pad every device
+    # to the giant bucket's tile count
+    d2b = np.zeros((n, 1), np.int32)
+    d2b[:, 0] = np.minimum(rng.integers(0, 200, size=n), n_bkt - 1)  # ~92% in bucket 15
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    km = kmeans_fit(x_d[:2000], n_bkt, niter=2, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d[:2000]), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+    mesh = make_mesh(8)
+
+    t_pad_dense_bytes = 8 * layout.padded_sizes.max() // 128 * 128 * dim * 4  # old dense form
+    tracemalloc.start()
+    eng = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # peak numpy staging must stay far below the dense host array it replaced
+    assert peak < t_pad_dense_bytes, (peak, t_pad_dense_bytes)
+
+    # and the engine still answers exactly
+    x_q = rng.normal(size=(9, dim)).astype(np.float32)
+    res = eng.search(x_q, 0.0, k=5)
+    gt = np.argsort(((x_d[None] - x_q[:, None]) ** 2).sum(-1), axis=1)[:, :5]
+    for i in range(9):
+        assert set(res.ids[i][res.ids[i] >= 0]) == set(gt[i])
+
+
+@needs_8
+def test_sharded_engine_probe_cap_matches_single():
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.ops.distance import l2_to_centroids
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n, dim, n_bkt = 900, 8, 12
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(21, dim)).astype(np.float32)
+    d2b = np.full((n, 1), -1, np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    km = kmeans_fit(x_d, n_bkt, niter=3, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+
+    single = QueryEngine(x_d, layout, km.centroids, scaler, params, probe_cap=4)
+    mesh = make_mesh(8)
+    sharded = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh, probe_cap=4)
+    for thr in (0.0, 0.5):
+        r1 = single.search(x_q, thr, k=5)
+        r8 = sharded.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.nprobe, r8.nprobe)
+        np.testing.assert_array_equal(r1.ndis, r8.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r8.ids[i][r8.ids[i] >= 0])

@@ -45,3 +45,33 @@ def test_sharded_knn_ip(rng):
     expected = np.argsort(-(query @ base.T), axis=1, kind="stable")[:, :3]
     for i in range(10):
         assert set(ids[i]) == set(expected[i]), i
+
+
+@needs_8
+def test_sharded_knn_streams_under_budget(rng):
+    """Chunked streaming: a score budget far below the dense (Q, n_local)
+    matrix must still give exact results (many chunks per shard, top-k
+    spanning chunk boundaries)."""
+    base = rng.normal(size=(8192, 8)).astype(np.float32)
+    query = rng.normal(size=(64, 8)).astype(np.float32)
+    mesh = make_mesh(8)
+    # dense per-shard scores would be 64×1024×4 = 256 KiB; budget 64 KiB
+    # forces c_block = 256 → 4 streamed chunks per shard
+    _, ids = sharded_exact_knn(base, query, 7, mesh, score_budget=1 << 16)
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :7]
+    for i in range(64):
+        assert set(ids[i]) == set(expected[i]), i
+
+
+@needs_8
+def test_sharded_knn_k_wider_than_chunk(rng):
+    """k larger than one streamed chunk's group capacity stays exact."""
+    base = rng.normal(size=(4096, 8)).astype(np.float32)
+    query = rng.normal(size=(16, 8)).astype(np.float32)
+    mesh = make_mesh(8)
+    _, ids = sharded_exact_knn(base, query, 150, mesh, score_budget=1 << 15)
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :150]
+    for i in range(16):
+        assert set(ids[i]) == set(expected[i]), i
