@@ -1,24 +1,30 @@
 """Query-blocked serving scan: one DMA of each probed tile serves a whole
-query block.
+query block, and one device program serves the whole batch.
 
 The per-query kernel (engine/pallas_scan.py) re-fetches every 128-row tile
-once per query, capping serving at gather bandwidth.  This module is the
-throughput path (reference hot loop: search.cpp:472-514, which scans
-per-query serially on CPU):
+once per query, capping serving at gather bandwidth; a per-block host loop
+would pay a host↔device round trip per block (30 ms over this rig's
+tunneled TPU).  This module is the throughput path (reference hot loop:
+search.cpp:472-514, which scans per-query serially on CPU), structured as
+exactly two device calls per (batch, threshold):
 
-  * queries are sorted by their top-probed bucket and grouped into blocks
-    of `block_q`; similar queries probe overlapping buckets, so the block's
-    *union* of probed tiles is far smaller than the sum;
-  * round 1 — Pallas kernel over the union: supertiles (S=8 consecutive
-    128-row tiles) are streamed from the flat bucket-contiguous corpus via
-    scalar-prefetched indices, the (block_q, S·128) score block is computed
-    on the MXU, and only the per-tile minimum is emitted (same group-min
-    screen as ops/knn_pallas.py, which runs at ~2/3 of MXU peak);
-  * the group-min matrix is masked by a per-(query, bucket) probed penalty
-    — a query only "sees" tiles of buckets it probed, so results and recall
-    match the per-query engines exactly;
-  * round 2 — the top-(fetch_k+margin) tiles per query are gathered
-    (tile-granular, full-bandwidth) and rescored exactly in f32 on device.
+  1. `_probe_prepare` — probing MLP, top-m bucket selection with the
+     engine's `score ≥ threshold` + argmax-fallback semantics, a stable
+     sort of queries by top bucket (similar queries → overlapping probed
+     tiles), per-block bucket-union masks, and exact nprobe/ndis counters.
+     Only the (n_blocks, n_bkt) union masks and the counters leave the
+     device (~tens of KB).
+  2. host: union masks → per-block supertile lists (S=8 consecutive
+     128-row tiles) + tile→bucket maps.  Pure numpy, microseconds.
+  3. `_scan_all` — one Pallas kernel over grid (n_blocks, U): supertiles
+     stream from the flat bucket-contiguous corpus via scalar-prefetched
+     indices, each (block_q, S·128) score block runs on the MXU, and only
+     per-tile minima are emitted (the group-min screen of ops/knn_pallas.py
+     which runs at ~2/3 of MXU peak).  A lax.map over blocks then masks by
+     the per-(query, bucket) probed penalty — a query only "sees" tiles of
+     buckets it probed, so results match the per-query engines exactly —
+     selects the top-(fetch_k+margin) tiles per query, rescores them
+     exactly in f32 (tile-granular gathers), and un-permutes.
 
 bf16 fast mode stores the round-1 corpus in bfloat16 (half the HBM bytes);
 the selection margin absorbs bf16 rounding of the group mins and round 2
@@ -39,16 +45,75 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..models.probing_mlp import forward as mlp_forward
+from ..ops.distance import l2_to_centroids
+
 S_TILES = 8  # tiles per supertile: out block (8, block_q) meets f32 (8, 128) alignment
 
 _BIG = 3e38
 
 
-def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, precision):
-    """One union supertile: (qb, d) × (S·128, d)ᵀ on the MXU → per-tile min.
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
 
-    Emitted transposed (S, qb) so the output block is (8, 128)-aligned.
+
+# ---------------------------------------------------------------------------
+# phase 1: on-device probe + block grouping + union masks
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "qb"))
+def _probe_prepare(
+    params, centroids, scaler_mean, scaler_scale,
+    q_pad: jax.Array,  # (B_pad, d) f32, zero rows beyond b_real
+    sizes: jax.Array,  # (n_bkt,) int32 true bucket sizes
+    b_real: jax.Array,  # () int32 — live query count
+    threshold: jax.Array,  # () f32
+    m: int,  # probe cap (n_bkt for dense semantics)
+    qb: int,  # block size; B_pad % qb == 0
+):
+    """One device program: probe → select → sort-by-top-bucket → unions.
+
+    Returns (device: probed (B_pad, n_bkt) bool, perm (B_pad,) i32;
+    host-bound: union (n_blocks, n_bkt) bool, nprobe (B_pad,), ndis (B_pad,)).
     """
+    d = l2_to_centroids(q_pad, centroids)
+    out = mlp_forward(params, (d - scaler_mean) / scaler_scale, q_pad)
+    B, n_bkt = out.shape
+    vals, idx = jax.lax.top_k(out, m)
+    rows = jnp.arange(B)
+    live = rows < b_real
+    keep = vals >= threshold
+    keep = keep.at[:, 0].set(True)  # argmax fallback (search.cpp:447-466)
+    keep = keep & live[:, None]
+    probed = jnp.zeros((B, n_bkt), bool).at[rows[:, None], idx].set(keep)
+    top1 = jnp.where(live, idx[:, 0], n_bkt)  # dead rows sort last
+    perm = jnp.argsort(top1, stable=True).astype(jnp.int32)
+    union = probed[perm].reshape(B // qb, qb, n_bkt).any(axis=1)
+    nprobe = probed.sum(axis=1).astype(jnp.int32)
+    # int32 is exact here: per-query ndis ≤ corpus rows + redundancy < 2^31
+    ndis = probed.astype(jnp.int32) @ sizes
+    return probed, perm, union, nprobe, ndis
+
+
+@partial(jax.jit, static_argnames=("qb",))
+def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int):
+    """Grouping + unions for an externally-supplied probed mask (custom
+    prober, e.g. the IVF baseline)."""
+    perm = jnp.argsort(top1, stable=True).astype(jnp.int32)
+    B, n_bkt = probed.shape
+    union = probed[perm].reshape(B // qb, qb, n_bkt).any(axis=1)
+    return perm, union
+
+
+# ---------------------------------------------------------------------------
+# phase 3: one stacked device program for every block
+# ---------------------------------------------------------------------------
+
+
+def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, precision):
+    """One (block, union-supertile) step: (qb, d) × (S·128, d)ᵀ on the MXU →
+    per-tile min, emitted (1, S, qb) so the block is (8, 128)-aligned."""
     dot = jax.lax.dot_general(
         q_ref[...], chunk_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -61,110 +126,125 @@ def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, 
         scores = sq - dot
     else:
         scores = sq - 2.0 * dot
-    out_ref[...] = scores.reshape(qb, S_TILES, 128).min(axis=-1).T
+    out_ref[...] = scores.reshape(qb, S_TILES, 128).min(axis=-1).T[None]
 
 
-@partial(jax.jit, static_argnames=("metric", "kg", "precision", "interpret"))
-def _blocked_select(
-    q: jax.Array,  # (qb, d) in the round-1 corpus dtype
-    supers: jax.Array,  # (U,) int32 supertile indices into the flat corpus
-    tb_sel: jax.Array,  # (U*S,) int32 bucket id per union tile, -1 = invalid
-    probed: jax.Array,  # (qb, n_bkt) bool probed mask
-    corpus_flat: jax.Array,  # (n_super*S*128, d) bucket-contiguous corpus
-    bsq: jax.Array,  # (n_super*S, 128) row penalties/norms (finite big at pad)
+@partial(
+    jax.jit,
+    static_argnames=("metric", "kg", "fetch_k", "qb", "precision", "interpret", "sub"),
+)
+def _scan_all(
+    q_pad: jax.Array,  # (B_pad, d) f32
+    probed: jax.Array,  # (B_pad, n_bkt) bool (un-permuted)
+    perm: jax.Array,  # (B_pad,) i32
+    supers: jax.Array,  # (n_blocks, U) i32 supertile indices (0 at padding)
+    tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
+    corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
+    bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
+    corpus_flat_f32: jax.Array,  # f32 corpus for the exact rescore
+    tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
     metric: str,
     kg: int,
+    fetch_k: int,
+    qb: int,
     precision: str,
     interpret: bool,
+    sub: int = 64,
 ):
-    """(gtile (qb, kg) int32 global tile ids, valid (qb, kg) bool)."""
-    qb, d = q.shape
-    U = supers.shape[0]
+    """(scores (B_pad, fetch_k), ids (B_pad, fetch_k)) — one device program."""
+    B, d = q_pad.shape
+    n_blocks, U = supers.shape
+    q_perm = q_pad[perm]
+    q_r1 = q_perm.astype(corpus_flat.dtype)
+    probed_p = probed[perm].reshape(n_blocks, qb, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(U,),
+        grid=(n_blocks, U),
         in_specs=[
-            pl.BlockSpec((qb, d), lambda u, sref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, d), lambda i, u, sref: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (S_TILES * 128, d), lambda u, sref: (sref[u], 0), memory_space=pltpu.VMEM
+                (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((S_TILES, 128), lambda u, sref: (sref[u], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (S_TILES, 128), lambda i, u, sref: (sref[i, u], 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((S_TILES, qb), lambda u, sref: (u, 0), memory_space=pltpu.VMEM),
-    )
-    gmin_t = pl.pallas_call(
-        partial(_union_groupmin_kernel, metric=metric, precision=precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((U * S_TILES, qb), jnp.float32),
-        interpret=interpret,
-    )(supers, q, corpus_flat, bsq)
-
-    # per-(query, bucket) penalty expanded to union tiles by a row gather;
-    # tb = -1 (padding) indexes the sentinel all-big row n_bkt
-    pen_b = jnp.where(probed.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, qb)
-    pen_b = jnp.concatenate([pen_b, jnp.full((1, qb), _BIG, jnp.float32)], axis=0)
-    tb = jnp.where(tb_sel >= 0, tb_sel, pen_b.shape[0] - 1)
-    masked = gmin_t + pen_b[tb]  # (U*S, qb)
-
-    vals, sel = jax.lax.top_k(-masked.T, kg)  # (qb, kg) over the union tiles
-    gtile = supers[sel // S_TILES] * S_TILES + sel % S_TILES
-    valid = vals > -(_BIG / 2)
-    return gtile.astype(jnp.int32), valid
-
-
-@partial(jax.jit, static_argnames=("metric", "fetch_k", "sub"))
-def _blocked_rescan(
-    q: jax.Array,  # (qb, d) f32
-    gtile: jax.Array,  # (qb, kg) global tile ids
-    valid: jax.Array,  # (qb, kg) bool
-    corpus_flat_f32: jax.Array,  # (n_super*S*128, d) f32 corpus
-    tiles_sq: jax.Array,  # (n_super*S, 128) metric-correct row norms (big at pad)
-    tiles_ids: jax.Array,  # (n_super*S, 128) int32 global ids (-1 = pad)
-    metric: str,
-    fetch_k: int,
-    sub: int = 256,
-):
-    """Exact f32 top-fetch_k among the selected tiles' members."""
-    qb, kg = gtile.shape
-    d = q.shape[1]
-    tiles = corpus_flat_f32.reshape(-1, 128, d)  # free inside jit
-
-    def body(args):
-        qs, sel, val = args  # (sub, d), (sub, kg), (sub, kg)
-        vec = tiles[sel]  # (sub, kg, 128, d) tile-granular gather
-        dot = jnp.einsum(
-            "stgd,sd->stg", vec, qs,
-            precision="highest", preferred_element_type=jnp.float32,
-        )
-        sq = tiles_sq[sel]
-        score = sq - dot if metric == "inner_product" else sq - 2.0 * dot
-        ids = tiles_ids[sel]  # (sub, kg, 128)
-        score = score + jnp.where(val, 0.0, _BIG)[:, :, None]
-        score = jnp.where(ids >= 0, score, _BIG)
-        n = qs.shape[0]
-        neg, pos = jax.lax.top_k(-score.reshape(n, kg * 128), fetch_k)
-        out_ids = jnp.take_along_axis(ids.reshape(n, kg * 128), pos, axis=1)
-        out_ids = jnp.where(neg > -(_BIG / 2), out_ids, -1)
-        return -neg, out_ids
-
-    sub = min(sub, qb)
-    if qb % sub:
-        sub = qb  # tiny/unaligned blocks: one shot
-    n_sub = qb // sub
-    scores, ids = jax.lax.map(
-        body,
-        (
-            q.reshape(n_sub, sub, -1),
-            gtile.reshape(n_sub, sub, kg),
-            valid.reshape(n_sub, sub, kg),
+        out_specs=pl.BlockSpec(
+            (1, S_TILES, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
         ),
     )
-    return scores.reshape(qb, fetch_k), ids.reshape(qb, fetch_k)
+    gmin = pl.pallas_call(
+        partial(_union_groupmin_kernel, metric=metric, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, U * S_TILES, qb), jnp.float32),
+        interpret=interpret,
+    )(supers, q_r1, corpus_flat, bsq)
+
+    tiles_f32 = corpus_flat_f32.reshape(-1, 128, d)
+    kg_eff = min(kg, U * S_TILES)
+    k_loc = min(fetch_k, kg_eff * 128)
+
+    def per_block(args):
+        gmin_b, probed_b, tb_b, supers_b, q_b = args
+        # mask: a query sees only tiles of buckets it probed
+        qb_ = q_b.shape[0]
+        pen_b = jnp.where(probed_b.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, qb)
+        pen_b = jnp.concatenate([pen_b, jnp.full((1, qb_), _BIG, jnp.float32)], axis=0)
+        tbx = jnp.where(tb_b >= 0, tb_b, pen_b.shape[0] - 1)
+        masked = gmin_b + pen_b[tbx]  # (U*S, qb)
+
+        vals, sel = jax.lax.top_k(-masked.T, kg_eff)  # (qb, kg)
+        gtile = supers_b[sel // S_TILES] * S_TILES + sel % S_TILES
+        valid = vals > -(_BIG / 2)
+
+        def rbody(rargs):
+            qs, sg, val = rargs
+            vec = tiles_f32[sg]  # (sub, kg, 128, d) tile-granular gather
+            dot = jnp.einsum(
+                "stgd,sd->stg", vec, qs,
+                precision="highest", preferred_element_type=jnp.float32,
+            )
+            sq = bsq[sg]
+            score = sq - dot if metric == "inner_product" else sq - 2.0 * dot
+            ids = tiles_ids[sg]
+            score = score + jnp.where(val, 0.0, _BIG)[:, :, None]
+            score = jnp.where(ids >= 0, score, _BIG)
+            n = qs.shape[0]
+            neg, pos = jax.lax.top_k(-score.reshape(n, kg_eff * 128), k_loc)
+            oid = jnp.take_along_axis(ids.reshape(n, kg_eff * 128), pos, axis=1)
+            return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
+
+        sub_eff = sub if qb_ % sub == 0 else qb_
+        n_sub = qb_ // sub_eff
+        neg, oid = jax.lax.map(
+            rbody,
+            (
+                q_b.reshape(n_sub, sub_eff, d),
+                gtile.reshape(n_sub, sub_eff, kg_eff),
+                valid.reshape(n_sub, sub_eff, kg_eff),
+            ),
+        )
+        return neg.reshape(qb_, k_loc), oid.reshape(qb_, k_loc)
+
+    neg, ids = jax.lax.map(per_block, (gmin, probed_p, tb, supers, q_perm.reshape(n_blocks, qb, d)))
+    neg = neg.reshape(B, k_loc)
+    ids = ids.reshape(B, k_loc)
+    if k_loc < fetch_k:
+        pad = fetch_k - k_loc
+        neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
+
+    # un-permute back to caller order
+    out_scores = jnp.zeros_like(neg).at[perm].set(-neg)
+    out_ids = jnp.full_like(ids, -1).at[perm].set(ids)
+    return out_scores, out_ids
 
 
-def _pow2ceil(x: int) -> int:
-    return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
+# ---------------------------------------------------------------------------
+# state + orchestration
+# ---------------------------------------------------------------------------
 
 
 class BlockScanState:
@@ -213,77 +293,102 @@ class BlockScanState:
         self.n_super = n_super
         self.scan_dtype = scan_dtype
 
-    def union_supertiles(self, probed_any: np.ndarray, tile_start, tiles_per_bucket):
-        """Sorted unique supertile indices covering a block's probed buckets."""
-        bs = np.nonzero(probed_any)[0]
+
+def build_block_unions(
+    union_mask: np.ndarray,  # (n_blocks, n_bkt) bool
+    tile_start: np.ndarray,
+    tiles_per_bucket: np.ndarray,
+    tile_bucket: np.ndarray,  # (n_super*S,) bucket per global tile
+):
+    """Union masks → per-block supertile lists + per-tile bucket maps.
+
+    Returns (supers (n_blocks, U) i32, tb (n_blocks, U*S) i32) with U the
+    pow2 ceiling of the largest block union (compile-count stays log)."""
+    n_blocks = union_mask.shape[0]
+    per_block = []
+    for i in range(n_blocks):
+        bs = np.nonzero(union_mask[i])[0]
         reps = tiles_per_bucket[bs]
         total = int(reps.sum())
         if total == 0:
-            return np.zeros(0, dtype=np.int32)
+            per_block.append(np.zeros(0, np.int64))
+            continue
         starts_rep = np.repeat(tile_start[bs], reps)
         cum = np.cumsum(reps) - reps
         within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
-        tiles_flat = starts_rep + within
-        return np.unique(tiles_flat // S_TILES).astype(np.int32)
+        per_block.append(np.unique((starts_rep + within) // S_TILES))
+    U = max(1, _pow2ceil(max(len(s) for s in per_block)))
+    supers = np.zeros((n_blocks, U), np.int32)
+    tb = np.full((n_blocks, U * S_TILES), -1, np.int32)
+    for i, s in enumerate(per_block):
+        if not len(s):
+            continue
+        supers[i, : len(s)] = s
+        real = (s[:, None] * S_TILES + np.arange(S_TILES)[None, :]).reshape(-1)
+        tb[i, : len(real)] = tile_bucket[real]
+    return supers, tb
 
 
 def blocked_search(
     state: BlockScanState,
-    q: np.ndarray,  # (B, d) f32 queries
-    probed: np.ndarray,  # (B, n_bkt) bool
-    top1: np.ndarray,  # (B,) top-probed bucket per query (grouping key)
-    tile_start: np.ndarray,
-    tiles_per_bucket: np.ndarray,
+    engine,  # QueryEngine — probing params + tile geometry
+    queries: np.ndarray,  # (B, d) f32
+    threshold: float,
     fetch_k: int,
-    metric: str,
     block_q: int = 256,
     margin: int | None = None,
     interpret: bool | None = None,
 ):
-    """(scores (B, fetch_k), ids (B, fetch_k)) over all query blocks."""
+    """(scores, ids, nprobe, ndis) — two device round trips for the batch."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if margin is None:
         margin = 16 if state.scan_dtype == jnp.bfloat16 else 8
     precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
-    B, d = q.shape
-    block_q = max(8, min(block_q, _pow2ceil(B)))
+    B, d = np.asarray(queries).shape
+    qb = max(8, min(block_q, _pow2ceil(B)))
+    B_pad = -(-B // qb) * qb
+    q_pad = np.zeros((B_pad, d), np.float32)
+    q_pad[:B] = queries
+    q_dev = jnp.asarray(q_pad)
 
-    order = np.argsort(top1, kind="stable")
-    out_ids = np.full((B, fetch_k), -1, np.int32)
-    out_scores = np.full((B, fetch_k), np.inf, np.float32)
-
-    for s in range(0, B, block_q):
-        sel = order[s : s + block_q]
-        nsel = len(sel)
-        probed_blk = probed[sel]
-        supers = state.union_supertiles(probed_blk.any(axis=0), tile_start, tiles_per_bucket)
-        U = max(1, _pow2ceil(len(supers)))
-        supers_p = np.zeros(U, np.int32)
-        supers_p[: len(supers)] = supers
-        tb_sel = np.full(U * S_TILES, -1, np.int32)
-        if len(supers):
-            real = (supers[:, None] * S_TILES + np.arange(S_TILES)[None, :]).reshape(-1)
-            tb_sel[: len(real)] = state.tile_bucket[real]
-
-        if nsel < block_q:  # pad the tail block (padded queries probe nothing)
-            q_blk = np.zeros((block_q, d), np.float32)
-            q_blk[:nsel] = q[sel]
-            p_blk = np.zeros((block_q, probed.shape[1]), bool)
-            p_blk[:nsel] = probed_blk
-        else:
-            q_blk, p_blk = q[sel], probed_blk
-
-        kg = min(fetch_k + margin, U * S_TILES)
-        q_dev = jnp.asarray(q_blk).astype(state.scan_dtype)
-        gtile, valid = _blocked_select(
-            q_dev, jnp.asarray(supers_p), jnp.asarray(tb_sel), jnp.asarray(p_blk),
-            state.corpus_flat, state.bsq, metric, kg, precision, interpret,
+    n_bkt = engine.layout.n_bkt
+    if engine.prober is not None:
+        outputs = np.asarray(engine.prober(np.asarray(queries, np.float32)))
+        probed_h = engine.select_buckets(outputs, threshold)
+        probed_h = np.concatenate(
+            [probed_h, np.zeros((B_pad - B, n_bkt), bool)], axis=0
+        ) if B_pad > B else probed_h
+        top1 = np.concatenate([outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)])
+        probed = jnp.asarray(probed_h)
+        perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
+        nprobe = probed_h[:B].sum(axis=1)
+        ndis = probed_h[:B] @ engine.sizes.astype(np.int64)
+        union = np.asarray(union)
+    else:
+        m = min(engine.probe_cap or n_bkt, n_bkt)
+        probed, perm, union, nprobe_d, ndis_d = _probe_prepare(
+            engine.params, engine.centroids, engine.scaler_mean, engine.scaler_scale,
+            q_dev, jnp.asarray(engine.sizes, jnp.int32), jnp.int32(B),
+            jnp.float32(threshold), m, qb,
         )
-        sc, ids = _blocked_rescan(
-            jnp.asarray(q_blk), gtile, valid, state.corpus_flat_f32, state.bsq,
-            state.tiles_ids, metric, fetch_k,
-        )
-        out_ids[sel] = np.asarray(ids[:nsel])
-        out_scores[sel] = np.asarray(sc[:nsel])
-    return out_scores, out_ids
+        union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
+        nprobe = np.asarray(nprobe_d[:B])
+        ndis = np.asarray(ndis_d[:B])
+
+    supers, tb = build_block_unions(
+        union, engine.tile_start, engine.tiles_per_bucket, state.tile_bucket
+    )
+    kg = fetch_k + margin
+    scores, ids = _scan_all(
+        q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
+        state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
+        metric=engine.metric, kg=kg, fetch_k=fetch_k, qb=qb,
+        precision=precision, interpret=interpret,
+    )
+    return (
+        np.asarray(scores[:B]),
+        np.asarray(ids[:B]),
+        nprobe.astype(np.int64),
+        ndis.astype(np.int64),
+    )

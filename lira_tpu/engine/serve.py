@@ -152,6 +152,7 @@ class QueryEngine:
         probe_cap: int | None = None,  # device-side top-M bucket selection
         block_q: int = 256,  # blocked scan: queries per union block
         block_margin: int | None = None,  # blocked scan: extra tiles selected
+        prober=None,  # optional queries -> (B, n_bkt) scores, replacing the MLP
     ):
         """scan_impl:
           'blocked' — throughput path: queries grouped by top bucket share
@@ -170,6 +171,8 @@ class QueryEngine:
         self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
         self.block_q = block_q
         self.block_margin = block_margin
+        self.prober = prober  # e.g. engine.ivf_baseline.ivf_probe_matrix for
+        # the measured LIRA-vs-IVF comparison on an identical layout
         self.tile = tile or layout.tile
         self.layout = layout
         x_d = np.asarray(x_d, dtype=np.float32)
@@ -266,6 +269,9 @@ class QueryEngine:
         """((B, n_bkt) bool probed mask, (B,) top-1 bucket id) — dense path
         or capped top-M path.  The top-1 bucket doubles as the blocked scan's
         query-grouping key (similar queries → overlapping probed tiles)."""
+        if self.prober is not None:
+            outputs = np.asarray(self.prober(np.asarray(q)))
+            return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
         if self.probe_cap is None:
             outputs = np.asarray(self._probe_jit(q))
             return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
@@ -316,26 +322,23 @@ class QueryEngine:
         1M-corpus scale)."""
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
-        q = jnp.asarray(queries)
-        probed, top1 = self._select_probed(q, threshold)
 
         if self.scan_impl == "blocked":
             from .block_scan import blocked_search
 
             fetch_k = k * self.n_mul  # dedup slots; round 2 is f32-exact
-            scores, ids = blocked_search(
-                self._block_state, queries, probed, top1,
-                self.tile_start, self.tiles_per_bucket, fetch_k, self.metric,
+            scores, ids, nprobe, ndis = blocked_search(
+                self._block_state, self, queries, threshold, fetch_k,
                 block_q=self.block_q, margin=self.block_margin,
             )
             ids, scores = _dedup_topk(ids, scores, k)
             return SearchResult(
-                ids=ids, scores=scores,
-                nprobe=probed.sum(axis=1),
-                ndis=(probed @ self.sizes.astype(np.int64)),
+                ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
                 elapsed=time.perf_counter() - t0,
             )
 
+        q = jnp.asarray(queries)
+        probed, top1 = self._select_probed(q, threshold)
         tiles = self._probe_tiles(probed)
         # scan with n_mul × k slots so replicas can be deduplicated to k
         # distinct; bf16 mode over-fetches extra slots for the f32 re-rank

@@ -127,11 +127,27 @@ def main(argv=None):
     p.add_argument("k", nargs="?", type=int, default=10)
     p.add_argument("nprobe", nargs="?", type=int, default=0)
     p.add_argument("n_threads", nargs="?", type=int, default=0)  # accepted for CLI parity; unused on TPU
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="chunked disk→device ingestion: the corpus is never widened to "
+        "f32 on the host (BIGANN-scale bvecs; reference: compute_knn.cpp:113-140)",
+    )
+    p.add_argument("--chunk_rows", type=int, default=1 << 20)
     a = p.parse_args(argv)
 
     t0 = time.time()
-    bundle = load_data(a.dataset, data_path=a.data_path)
-    base = bundle.base
+    if a.streaming:
+        if a.nprobe != 0:
+            raise SystemExit("--streaming currently supports exact mode (nprobe=0) only")
+        from ..io.streaming import base_file_path, stream_to_device
+
+        base_file = base_file_path(a.data_path, a.dataset)
+        if base_file is None:
+            raise FileNotFoundError(f"no base vectors for {a.dataset} under {a.data_path}")
+        base = stream_to_device(base_file, chunk_rows=a.chunk_rows)
+    else:
+        bundle = load_data(a.dataset, data_path=a.data_path)
+        base = bundle.base
     read_time = time.time() - t0
     n, dim = base.shape
 
@@ -143,7 +159,14 @@ def main(argv=None):
         method = "ivf_approximate"
     else:
         n_list = nprobe = None
-        knn = self_knn(base, a.k)
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from ..ops.knn_pallas import self_knn_fused
+
+            knn = self_knn_fused(base, a.k, precision="highest")
+        else:
+            knn = self_knn(base, a.k)
         method = "tpu_flat_exact"
     search_time = time.time() - t0
 

@@ -211,6 +211,23 @@ def run_smallscale(
                 threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
             )
 
+    # (6) measured serving sweep (batched QPS) — the C++ engine equivalent.
+    # Runs before the CSV dump so the reference schema's QPS column carries
+    # measured numbers (reference: LIRA_smallscale.py:219-230 measures QPS in
+    # its Python sweep; the analytic sweep alone cannot).
+    if serve_sweep:
+        engine = QueryEngine(
+            x_d, layout, km.centroids, scaler, state.params, metric=cfg.dis_metric, n_mul=cfg.n_mul
+        )
+        serve_rows = engine.sweep(x_q, knn_query, cfg.k, thresholds)
+        results["serve_rows"] = serve_rows
+        results["engine"] = engine
+        qps_by_thr = {round(r["threshold"], 6): r["qps"] for r in serve_rows}
+        # the serving engine runs on the final (post-redundancy) layout —
+        # join measured QPS onto the matching (last) analytic sweep part
+        for row in sweep_parts[-1]:
+            row.qps = qps_by_thr.get(round(row.threshold, 6), row.qps)
+
     if cfg.pth_log and cfg.file_name:
         os.makedirs(cfg.pth_log, exist_ok=True)
         for part, rows in enumerate(sweep_parts):
@@ -221,14 +238,6 @@ def run_smallscale(
                 ),
             )
         _epochs_to_csv(epoch_rows, os.path.join(cfg.pth_log, cfg.df_name))
-
-    # (6) measured serving sweep (batched QPS) — the C++ engine equivalent
-    if serve_sweep:
-        engine = QueryEngine(
-            x_d, layout, km.centroids, scaler, state.params, metric=cfg.dis_metric, n_mul=cfg.n_mul
-        )
-        results["serve_rows"] = engine.sweep(x_q, knn_query, cfg.k, thresholds)
-        results["engine"] = engine
 
     results.update(
         {

@@ -1,0 +1,140 @@
+"""Measured LIRA-vs-IVF serving comparison on one TPU chip.
+
+The reference's headline claim is "up to 30% lower latency / query fan-out
+vs IVF" (reference: README.md:28-32; its C++ engine prints measured
+QPS sweeps, search.cpp:542-548, and its Python sweep measures QPS,
+LIRA_smallscale.py:219-230) — but the repo publishes no tables.  This
+script produces the measured counterpart on TPU:
+
+  * one clustered corpus, one K-Means partition build, one trained probing
+    model (the small-scale pipeline);
+  * three engines on the SAME scan path (blocked union scan):
+      - ivf      : probe the M nearest centroids, plain layout
+      - lira-nr  : learned prober, plain layout (no redundancy)
+      - lira     : learned prober, learning-based-redundancy layout
+  * measured recall / nprobe / ndis / QPS sweeps for each;
+  * operating points at recall targets 0.90 / 0.95 / 0.98 via
+    engine.tuning.compare_at_recall → ndis/nprobe ratios (the paper's
+    Fig. 7-8 quantities, measured).
+
+Usage: python scripts/lira_vs_ivf.py [n] [n_bkt] [n_q] [n_epoch]
+Writes CSVs under ./logs/lira_vs_ivf/.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import lira_tpu
+
+lira_tpu.enable_compilation_cache()
+
+import jax
+
+from lira_tpu.config import Config
+from lira_tpu.engine.ivf_baseline import ivf_probe_matrix
+from lira_tpu.engine.serve import QueryEngine
+from lira_tpu.engine.tuning import compare_at_recall, pick_threshold
+from lira_tpu.io.datasets import synthetic_dataset
+from lira_tpu.partition.assign import build_bucket_layout
+from lira_tpu.partition.kmeans import kmeans_assign
+from lira_tpu.pipelines.smallscale import run_smallscale
+
+
+def rows_to_csv(rows, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("threshold,nprobe,Recall,Computations,QPS\n")
+        for r in rows:
+            f.write(
+                f"{r['threshold']},{r['avg_nprobe']},{r['avg_recall']},"
+                f"{r['avg_cmp']},{r['qps']}\n"
+            )
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+    n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    k, dim = 10, 128
+
+    t0 = time.time()
+    bundle = synthetic_dataset(
+        n_base=n, n_query=n_q, dim=dim, n_clusters=max(64, n_bkt), k_gt=k,
+        seed=43, name="ivfcmp", center_scale=30.0, noise_scale=14.0, query_noise=10.0,
+        compute_gt=False,
+    )
+    from lira_tpu.ops.knn import exact_knn
+
+    _, gt = exact_knn(bundle.base, bundle.query, k)
+    bundle.groundtruth = gt
+    print(f"dataset ready ({time.time() - t0:.1f}s)", flush=True)
+
+    cfg = Config(dataset="ivfcmp", data_path="/tmp/ivfcmp", k=k, n_bkt=n_bkt,
+                 n_epoch=n_epoch, pth_log=None).update()
+    cfg.pth_log = None  # no pipeline CSV side effects
+    res = run_smallscale(cfg, bundle=bundle, serve_sweep=False, use_cache=False)
+    km, scaler, state = res["kmeans"], res["scaler"], res["state"]
+    layout_re = res["layout"]  # with learning-based redundancy
+    print(f"pipeline trained ({time.time() - t0:.1f}s)", flush=True)
+
+    d2b0 = np.full((n, 1), -1, np.int32)
+    d2b0[:, 0] = kmeans_assign(bundle.base, km.centroids)
+    layout0 = build_bucket_layout(d2b0, n_bkt)
+
+    x_q, gt_ids = bundle.query, bundle.groundtruth
+    thresholds = np.arange(0.05, 0.95, 0.05)
+    nprobes = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128]
+    ivf_thr = np.array([1.0 - (m - 0.5) / n_bkt for m in nprobes])
+
+    engines = {
+        "ivf": QueryEngine(
+            bundle.base, layout0, km.centroids, scaler, state.params, n_mul=1,
+            prober=lambda q: ivf_probe_matrix(q, np.asarray(km.centroids)),
+        ),
+        "lira-nr": QueryEngine(
+            bundle.base, layout0, km.centroids, scaler, state.params, n_mul=1
+        ),
+        "lira": QueryEngine(
+            bundle.base, layout_re, km.centroids, scaler, state.params, n_mul=cfg.n_mul
+        ),
+    }
+    sweeps = {}
+    for name, eng in engines.items():
+        thr = ivf_thr if name == "ivf" else thresholds
+        sweeps[name] = eng.sweep(x_q, gt_ids, k, thr)
+        rows_to_csv(sweeps[name], f"./logs/lira_vs_ivf/{name}_n{n}_bkt{n_bkt}.csv")
+        for r in sweeps[name]:
+            print(
+                f"[{name}] thr={r['threshold']:.3f} recall={r['avg_recall']:.4f} "
+                f"nprobe={r['avg_nprobe']:.1f} ndis={r['avg_cmp']:.0f} QPS={r['qps']:.0f}",
+                flush=True,
+            )
+
+    print("\n=== operating points (measured) ===", flush=True)
+    for target in (0.90, 0.95, 0.98):
+        ivf_op = pick_threshold(sweeps["ivf"], target)
+        for name in ("lira-nr", "lira"):
+            cmp = compare_at_recall(sweeps[name], sweeps["ivf"], target)
+            if cmp is None:
+                print(f"recall≥{target}: {name} or ivf infeasible", flush=True)
+                continue
+            a, b = cmp["a"], cmp["b"]
+            qps_a = next(r["qps"] for r in sweeps[name] if r["threshold"] == a.threshold)
+            qps_b = next(r["qps"] for r in sweeps["ivf"] if r["threshold"] == b.threshold)
+            print(
+                f"recall≥{target}: {name} ndis={a.computations:.0f} nprobe={a.nprobe:.1f} "
+                f"QPS={qps_a:.0f}  vs ivf ndis={b.computations:.0f} nprobe={b.nprobe:.1f} "
+                f"QPS={qps_b:.0f}  → ndis ×{a.computations / b.computations:.3f}, "
+                f"nprobe ×{a.nprobe / b.nprobe:.3f} of IVF",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,7 @@ points spanning realistic ndis budgets.  The probing model is untrained —
 QPS depends only on the ndis/nprobe distribution, which we pin via
 threshold choice on the model's output quantiles.
 
-Usage: python scripts/tpu_serve_bench.py [n_base] [n_bkt] [batch]
+Usage: python scripts/tpu_serve_bench.py [n_base] [n_bkt] [batch] [impl_filter]
 """
 import sys
 import time
@@ -39,6 +39,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+    impl_filter = sys.argv[4] if len(sys.argv) > 4 else None
     d = 128
 
     rng = np.random.default_rng(43)
@@ -68,24 +69,28 @@ def main():
         ("blocked", dict(scan_impl="blocked")),
         ("blocked-bf16", dict(scan_impl="blocked", scan_dtype="bfloat16")),
         ("xla", dict(scan_impl="xla")),
-        ("pallas", dict(scan_impl="pallas")),
     ]
     for name, kw in impls:
-        eng = QueryEngine(x_d, layout, km.centroids, scaler, params, probe_cap=128, **kw)
-        outputs = eng.probe(x_q[:512])
-        for target_nprobe in (8, 32, 96):
-            thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
-            eng.search(x_q, thr, 10)  # warmup/compile at the measured shape
-            t0 = time.time()
-            r = eng.search(x_q, thr, 10)
-            dt = time.time() - t0
-            print(
-                f"serve[{name}] nprobe≈{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f} "
-                f"({100 * r.ndis.mean() / n:.2f}% corpus): {batch / dt:.0f} QPS "
-                f"({1e6 * dt / batch:.0f} us/q e2e)",
-                flush=True,
-            )
-        del eng
+        if impl_filter and impl_filter not in name:
+            continue
+        try:
+            eng = QueryEngine(x_d, layout, km.centroids, scaler, params, probe_cap=128, **kw)
+            outputs = eng.probe(x_q[:512])
+            for target_nprobe in (8, 32, 96):
+                thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
+                eng.search(x_q, thr, 10)  # warmup/compile at the measured shape
+                t0 = time.time()
+                r = eng.search(x_q, thr, 10)
+                dt = time.time() - t0
+                print(
+                    f"serve[{name}] nprobe≈{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f} "
+                    f"({100 * r.ndis.mean() / n:.2f}% corpus): {batch / dt:.0f} QPS "
+                    f"({1e6 * dt / batch:.0f} us/q e2e)",
+                    flush=True,
+                )
+            del eng
+        except Exception as exc:  # remote-compile flakes must not kill the sweep
+            print(f"serve[{name}] FAILED: {type(exc).__name__}: {exc}", flush=True)
 
 
 if __name__ == "__main__":

@@ -64,3 +64,49 @@ def test_lira_reaches_high_recall(trained):
     cfg, res, bundle = trained
     op = pick_threshold(res["sweep_parts"][1], 0.9)
     assert op is not None, "LIRA sweep never reached recall 0.9"
+
+
+def test_measured_engine_with_ivf_prober(rng):
+    """QueryEngine(prober=ivf_probe_matrix) probes exactly the M nearest
+    centroids at the rank-mapped threshold — the measured half of the
+    LIRA-vs-IVF comparison (scripts/lira_vs_ivf.py)."""
+    import jax
+    import jax.numpy as jnp
+    from lira_tpu.engine.ivf_baseline import ivf_probe_matrix
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids, pairwise_scores
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    n, dim, n_bkt = 1200, 8, 10
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(17, dim)).astype(np.float32)
+    d2b = np.full((n, 1), -1, np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    km = kmeans_fit(x_d, n_bkt, niter=3, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+
+    for impl in ("xla", "blocked"):
+        eng = QueryEngine(
+            x_d, layout, km.centroids, scaler, params, n_mul=1, scan_impl=impl,
+            prober=lambda q: ivf_probe_matrix(q, np.asarray(km.centroids)),
+        )
+        for m in (1, 3, 5):
+            thr = 1.0 - (m - 0.5) / n_bkt
+            res = eng.search(x_q, thr, k=5)
+            assert (res.nprobe == m).all(), (impl, m)
+            # probed buckets are exactly the M nearest centroids → the
+            # returned neighbors match a brute-force scan of those buckets
+            cd = np.asarray(pairwise_scores(jnp.asarray(x_q), jnp.asarray(km.centroids)))
+            nearest = np.argsort(cd, axis=1, kind="stable")[:, :m]
+            for i in range(len(x_q)):
+                members = np.concatenate([layout.bucket_members(b) for b in nearest[i]])
+                d = ((x_d[members] - x_q[i]) ** 2).sum(1)
+                expect = set(members[np.argsort(d, kind="stable")][: min(5, len(members))])
+                got = set(res.ids[i][res.ids[i] >= 0])
+                assert got == expect, (impl, m, i)
