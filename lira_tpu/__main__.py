@@ -8,6 +8,8 @@ Commands (each forwards to the matching pipeline module):
     knn          offline self-kNN precompute (exact or IVF-approximate)
     extract-k1   derive a smaller-k cache from an existing one
     batch        run an experiment grid over datasets × n_bkt
+    parity       run pipeline + sweeps on a real dataset, diff vs a
+                 reference-produced threshold-sweep CSV
 """
 
 import sys
@@ -20,6 +22,7 @@ COMMANDS = {
     "knn": ("lira_tpu.pipelines.compute_knn_cli", "main"),
     "extract-k1": ("lira_tpu.pipelines.extract_k1", "main"),
     "batch": ("lira_tpu.pipelines.batch", "main"),
+    "parity": ("lira_tpu.pipelines.parity", "main"),
 }
 
 

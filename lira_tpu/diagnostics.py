@@ -34,17 +34,19 @@ def observe_knn_tail(
     n_d, n_bkt = outputs_data.shape
 
     # tail points: gt neighbors sitting alone in a bucket for some query,
-    # where that query also has buckets holding >1 neighbors (replica targets)
+    # where that query also has buckets holding >1 neighbors (replica
+    # targets).  Fully vectorized: one fancy-index pass over all (query,
+    # neighbor) pairs instead of a Python double loop.
+    n_q = len(knn_distr_cnt)
+    lone = knn_distr_cnt == 1  # (n_q, n_bkt)
+    rich = knn_distr_cnt > 1
+    nb = data_2_bkt[knn]  # (n_q, k, n_mul)
+    safe = np.where(nb >= 0, nb, 0)
+    lone_nb = lone[np.arange(n_q)[:, None, None], safe] & (nb >= 0)
+    is_tail = lone_nb.any(axis=2) & rich.any(axis=1)[:, None]  # (n_q, k)
     tail_replicas = np.zeros((n_d, n_bkt), dtype=bool)
-    for q in range(len(knn_distr_cnt)):
-        lone = np.where(knn_distr_cnt[q] == 1)[0]
-        rich = np.where(knn_distr_cnt[q] > 1)[0]
-        if len(lone) == 0 or len(rich) == 0:
-            continue
-        nb_buckets = data_2_bkt[knn[q]]  # (k, n_mul)
-        for j, nid in enumerate(knn[q]):
-            if np.isin(nb_buckets[j], lone).any():
-                tail_replicas[nid, rich] = True
+    qs, js = np.nonzero(is_tail)
+    np.logical_or.at(tail_replicas, knn[qs, js], rich[qs])
 
     tail_ids = np.where(tail_replicas.any(axis=1))[0]
     if max_points:

@@ -158,29 +158,44 @@ def _scan_all(
     q_r1 = q_perm.astype(corpus_flat.dtype)
     probed_p = probed[perm].reshape(n_blocks, qb, -1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks, U),
-        in_specs=[
-            pl.BlockSpec((qb, d), lambda i, u, sref: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
-                memory_space=pltpu.VMEM,
+    # the scalar-prefetch operand lives in SMEM (1 MiB): split the pallas
+    # call into groups of block rows so each call's supers slice fits with
+    # headroom — still a single XLA program / device dispatch
+    smem_budget = 1 << 18
+    rows_per_call = max(1, min(n_blocks, smem_budget // max(U * 4, 1)))
+    q_rows = q_r1.reshape(n_blocks * qb, d)
+    parts = []
+    for s in range(0, n_blocks, rows_per_call):
+        e = min(s + rows_per_call, n_blocks)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(e - s, U),
+            in_specs=[
+                pl.BlockSpec(
+                    (qb, d), lambda i, u, sref, s=s: (s + i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (S_TILES, 128), lambda i, u, sref: (sref[i, u], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, S_TILES, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (S_TILES, 128), lambda i, u, sref: (sref[i, u], 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, S_TILES, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    gmin = pl.pallas_call(
-        partial(_union_groupmin_kernel, metric=metric, precision=precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, U * S_TILES, qb), jnp.float32),
-        interpret=interpret,
-    )(supers, q_r1, corpus_flat, bsq)
+        )
+        parts.append(
+            pl.pallas_call(
+                partial(_union_groupmin_kernel, metric=metric, precision=precision),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(((e - s), U * S_TILES, qb), jnp.float32),
+                interpret=interpret,
+            )(supers[s:e], q_rows, corpus_flat, bsq)
+        )
+    gmin = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     tiles_f32 = corpus_flat_f32.reshape(-1, 128, d)
     kg_eff = min(kg, U * S_TILES)

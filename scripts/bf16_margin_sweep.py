@@ -1,0 +1,144 @@
+"""Quantify the bf16 round-1 screen: missed-neighbor rate vs margin.
+
+Two bf16 fast paths share the same structure (bf16 MXU pass selects
+candidate tiles, exact f32 rescore ranks them); both can only err by
+*selection misses* — a true top-k tile whose bf16 group-min rounds past the
+margin.  This script measures that rate directly at 1M×128:
+
+  1. ops/knn_pallas.knn_fused(precision='default'): margin ∈ {0,2,4,8,16,32}
+     vs the f32-exact result → fraction of true neighbors missed;
+  2. engine serving, scan_dtype='bfloat16' (blocked): block_margin sweep vs
+     the f32 engine at a mid-selectivity threshold.
+
+Writes the measured table to docs/bf16_screen.md.
+
+Usage: python scripts/bf16_margin_sweep.py [n] [n_q]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import lira_tpu
+
+lira_tpu.enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from lira_tpu.engine.serve import QueryEngine
+from lira_tpu.labels.scaler import StandardScaler
+from lira_tpu.models.probing_mlp import init_params
+from lira_tpu.ops.distance import l2_to_centroids
+from lira_tpu.ops.knn import exact_knn
+from lira_tpu.ops.knn_pallas import knn_fused
+from lira_tpu.partition.assign import build_bucket_layout
+from lira_tpu.partition.kmeans import kmeans_assign, kmeans_fit
+
+
+def miss_rate(ids_test: np.ndarray, ids_ref: np.ndarray) -> float:
+    """Fraction of reference neighbors absent from the test result."""
+    hit = (ids_ref[:, :, None] == ids_test[:, None, :]).any(axis=2)
+    return float(1.0 - hit.mean())
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    d, k, n_bkt = 128, 10, 1024
+
+    rng = np.random.default_rng(43)
+    centers = rng.standard_normal((n_bkt, d), dtype=np.float32) * 30.0
+    x_d = centers[rng.integers(0, n_bkt, size=n)] + rng.standard_normal(
+        (n, d), dtype=np.float32
+    ) * 14.0
+    x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
+        (n_q, d), dtype=np.float32
+    ) * 10.0
+    print(f"corpus {x_d.shape} ready", flush=True)
+
+    _, ids_exact = exact_knn(x_d, x_q, k)
+    print("f32 exact reference done", flush=True)
+
+    lines = [
+        "# bf16 round-1 screen: measured missed-neighbor rates",
+        "",
+        f"Setup: {n:,}×{d} clustered corpus, {n_q} queries, k={k}, one TPU chip.",
+        "The bf16 fast paths select candidate 128-row tiles with a bf16 MXU",
+        "pass and re-rank the selected tiles' rows exactly in f32; the only",
+        "error mode is a true-neighbor tile rounding past the selection",
+        "margin.  Rates below are `1 − recall` of the bf16 path against the",
+        "f32-exact result (0 = bit-identical neighbor sets).",
+        "",
+        "## knn_fused (offline kNN, `precision='default'`)",
+        "",
+        "| margin (extra tiles) | missed-neighbor rate | wall s |",
+        "|---|---|---|",
+    ]
+    for margin in (0, 2, 4, 8, 16, 32):
+        t0 = time.time()
+        _, ids_m = knn_fused(x_d, x_q, k, margin=margin, precision="default")
+        dt = time.time() - t0
+        r = miss_rate(ids_m, ids_exact)
+        print(f"knn_fused margin={margin}: miss={r:.2e} ({dt:.2f}s)", flush=True)
+        lines.append(f"| {margin} | {r:.2e} | {dt:.2f} |")
+
+    # serving engine: bf16 blocked vs f32 blocked at a mid threshold
+    km = kmeans_fit(x_d, n_bkt, niter=10, seed=43)
+    assign = kmeans_assign(x_d, km.centroids)
+    layout = build_bucket_layout(assign, n_bkt)
+    raw = np.empty((100_000, n_bkt), np.float32)
+    cj = jnp.asarray(km.centroids)
+    for s in range(0, len(raw), 16384):
+        e = min(s + 16384, len(raw))
+        raw[s:e] = np.asarray(l2_to_centroids(jnp.asarray(x_d[s:e]), cj))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, d)
+
+    ref_eng = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                          scan_impl="blocked", probe_cap=128)
+    outputs = ref_eng.probe(x_q[:512])
+    thr = float(np.quantile(outputs, 1.0 - 32 / n_bkt))  # ~32 probes/query
+    r_ref = ref_eng.search(x_q, thr, k)
+    del ref_eng
+
+    lines += [
+        "",
+        "## serving engine (blocked scan, `scan_dtype='bfloat16'`)",
+        "",
+        f"Operating point: threshold for ≈32 probed buckets (ndis ≈ "
+        f"{r_ref.ndis.mean():.0f}/query).",
+        "",
+        "| block_margin (extra tiles) | neighbor-set miss rate |",
+        "|---|---|",
+    ]
+    for margin in (0, 4, 8, 16, 32):
+        eng = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                          scan_impl="blocked", scan_dtype="bfloat16",
+                          probe_cap=128, block_margin=margin)
+        r_b = eng.search(x_q, thr, k)
+        r = miss_rate(r_b.ids, r_ref.ids)
+        print(f"serve bf16 margin={margin}: miss={r:.2e}", flush=True)
+        lines.append(f"| {margin} | {r:.2e} |")
+        del eng
+
+    lines += [
+        "",
+        "Default margins: knn_fused uses 8, the bf16 blocked engine uses 16.",
+        "Generated by scripts/bf16_margin_sweep.py.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "bf16_screen.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
