@@ -355,6 +355,16 @@ def blocked_search(
     interpret: bool | None = None,
 ):
     """(scores, ids, nprobe, ndis) — two device round trips for the batch."""
+    import os
+    import time as _time
+
+    timing = os.environ.get("LIRA_BLOCKED_TIMING") == "1"
+    marks = [("start", _time.perf_counter())]
+
+    def mark(name):
+        if timing:
+            marks.append((name, _time.perf_counter()))
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if margin is None:
@@ -363,9 +373,17 @@ def blocked_search(
     B, d = np.asarray(queries).shape
     qb = max(8, min(block_q, _pow2ceil(B)))
     B_pad = -(-B // qb) * qb
-    q_pad = np.zeros((B_pad, d), np.float32)
-    q_pad[:B] = queries
-    q_dev = jnp.asarray(q_pad)
+    # reuse the uploaded query batch across calls (threshold sweeps search
+    # the same batch repeatedly; 33 MB re-uploads dominate on tunneled rigs)
+    cache = getattr(state, "_q_cache", None)
+    if cache is not None and cache[0] is queries and cache[1] == (B_pad, d):
+        q_dev = cache[2]
+    else:
+        q_pad = np.zeros((B_pad, d), np.float32)
+        q_pad[:B] = queries
+        q_dev = jnp.asarray(q_pad)
+        state._q_cache = (queries, (B_pad, d), q_dev)
+    mark("q_upload")
 
     n_bkt = engine.layout.n_bkt
     if engine.prober is not None:
@@ -390,10 +408,12 @@ def blocked_search(
         union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
         nprobe = np.asarray(nprobe_d[:B])
         ndis = np.asarray(ndis_d[:B])
+    mark("probe+union_sync")
 
     supers, tb = build_block_unions(
         union, engine.tile_start, engine.tiles_per_bucket, state.tile_bucket
     )
+    mark("host_unions")
     kg = fetch_k + margin
     scores, ids = _scan_all(
         q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
@@ -401,9 +421,17 @@ def blocked_search(
         metric=engine.metric, kg=kg, fetch_k=fetch_k, qb=qb,
         precision=precision, interpret=interpret,
     )
-    return (
+    out = (
         np.asarray(scores[:B]),
         np.asarray(ids[:B]),
         nprobe.astype(np.int64),
         ndis.astype(np.int64),
     )
+    mark("scan+result_sync")
+    if timing:
+        parts = ", ".join(
+            f"{name} {1e3 * (t - marks[i][1]):.0f}ms"
+            for i, (name, t) in enumerate(marks[1:])
+        )
+        print(f"[blocked_search B={B} U={supers.shape}] {parts}", flush=True)
+    return out

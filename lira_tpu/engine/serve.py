@@ -183,21 +183,31 @@ class QueryEngine:
         self.tiles_per_bucket = (layout.padded_sizes // self.tile).astype(np.int64)
         self.sizes = layout.sizes  # true ndis per bucket
 
-        padded = layout.gather_vectors(x_d)  # (padded_total, dim)
-        n_tiles = padded.shape[0] // self.tile
         if scan_impl == "blocked":
-            from .block_scan import BlockScanState
+            from .block_scan import S_TILES, BlockScanState
 
             tile_bucket = np.repeat(
                 np.arange(layout.n_bkt, dtype=np.int32), self.tiles_per_bucket
             )
+            # gather straight into a supertile-aligned buffer: avoids
+            # BlockScanState re-padding with a full-corpus concat copy
+            # (a second ~10 GB host temporary at 10M rows with redundancy)
+            n_tiles = len(layout.padded_ids) // self.tile
+            target_rows = max(1, -(-n_tiles // S_TILES)) * S_TILES * self.tile
+            padded = np.zeros((target_rows, dim), np.float32)
+            ids_a = np.full(target_rows, -1, np.int32)
+            ids_a[: len(layout.padded_ids)] = layout.padded_ids
+            valid = ids_a >= 0
+            padded[valid] = x_d[ids_a[valid]]
             self._block_state = BlockScanState(
-                padded, layout.padded_ids, tile_bucket, metric, self.scan_dtype,
-                tile=self.tile,
+                padded, ids_a, tile_bucket, metric, self.scan_dtype, tile=self.tile
             )
+            del padded
             self.corpus = None  # per-query scan corpora not materialized
             self.corpus_ids = self.corpus_sq = None
         else:
+            padded = layout.gather_vectors(x_d)  # (padded_total, dim)
+            n_tiles = padded.shape[0] // self.tile
             self.corpus = jnp.asarray(padded.reshape(n_tiles, self.tile, dim), self.scan_dtype)
             ids = layout.padded_ids.reshape(n_tiles, self.tile)
             self.corpus_ids = jnp.asarray(ids)

@@ -62,6 +62,15 @@ def save_index_artifacts(
     np.save(p + "_redundant_flags.npy", redundant)
     scaler.save(out_dir, prefix)
     save_params(params, p + "_model.npz")
+    try:
+        # reference-engine interop: also emit the TorchScript model the
+        # reference serving binary loads (search.cpp:333-338); skipped when
+        # torch is unavailable
+        from .torch_export import export_torchscript_mlp
+
+        export_torchscript_mlp(params, p + "_mlp_2_input.pt")
+    except ImportError:
+        pass
     manifest = {
         "format_version": 1,
         "metric": metric,

@@ -1,0 +1,96 @@
+"""10M×128 single-chip demonstration: large-scale pipeline + measured serving.
+
+The reference treats 10M-row datasets as routine (reference:
+run_batch_smallscale.sh:12-30, index_batch.sh:15-36, LIRA_largescale.py);
+this runs the TPU large-scale pipeline end-to-end at that scale on one chip
+— subset training, full-corpus assignment, full learning-based redundancy,
+analytic sweeps — then a measured blocked-scan serving sweep on the final
+layout.  Prints wall times per stage and the recall-vs-ndis curve.
+
+Usage: python scripts/tpu_10m_demo.py [n] [n_bkt] [n_q] [n_epoch]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import lira_tpu
+
+lira_tpu.enable_compilation_cache()
+
+import jax
+
+from lira_tpu.config import Config
+from lira_tpu.engine.serve import QueryEngine
+from lira_tpu.io.datasets import DatasetBundle
+from lira_tpu.ops.knn import exact_knn
+from lira_tpu.pipelines.largescale import run_largescale
+
+
+def gen_clustered(n, d, n_centers, rng, scale=30.0, noise=14.0, batch=2_000_000):
+    centers = rng.standard_normal((n_centers, d), dtype=np.float32) * scale
+    x = np.empty((n, d), np.float32)
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        x[s:e] = centers[rng.integers(0, n_centers, size=e - s)]
+        x[s:e] += rng.standard_normal((e - s, d), dtype=np.float32) * noise
+    return x
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    d, k = 128, 10
+
+    rng = np.random.default_rng(43)
+    t0 = time.time()
+    x_d = gen_clustered(n, d, n_bkt, rng)
+    x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
+        (n_q, d), dtype=np.float32
+    ) * 10.0
+    print(f"[gen] {n:,}×{d} corpus + {n_q} queries ({time.time() - t0:.1f}s)", flush=True)
+
+    t0 = time.time()
+    _, gt = exact_knn(x_d, x_q, k)
+    print(f"[gt] exact {k}-NN of {n_q} queries vs {n:,} rows ({time.time() - t0:.1f}s)",
+          flush=True)
+
+    bundle = DatasetBundle(name=f"syn{n // 1_000_000}m", base=x_d, query=x_q, groundtruth=gt)
+    cfg = Config(dataset=bundle.name, data_path="/tmp/syn10m", k=k, n_bkt=n_bkt,
+                 n_epoch=n_epoch, batch_size=512, t_min=0.1, t_max=0.9,
+                 t_step=0.1).update()
+    cfg.pth_log = None
+
+    t0 = time.time()
+    res = run_largescale(cfg, bundle=bundle, use_cache=False)
+    print(f"[pipeline] large-scale build+train+redundancy+sweeps ({time.time() - t0:.1f}s)",
+          flush=True)
+    layout = res["layout"]
+    print(f"[layout] total rows {layout.total:,} (redundancy ×{layout.total / n:.3f})",
+          flush=True)
+    for part, rows in enumerate(res["sweep_parts"]):
+        for r in rows[:: max(1, len(rows) // 6)]:
+            print(f"[analytic part{part}] thr={r.threshold:.2f} recall={r.recall:.4f} "
+                  f"nprobe={r.nprobe:.1f} ndis={r.computations:.0f}", flush=True)
+
+    t0 = time.time()
+    eng = QueryEngine(
+        x_d, layout, res["kmeans"].centroids, res["scaler"], res["state"].params,
+        n_mul=cfg.n_mul, scan_impl="blocked", probe_cap=256,
+    )
+    print(f"[engine] blocked engine built ({time.time() - t0:.1f}s)", flush=True)
+    serve_rows = eng.sweep(x_q, gt, k, np.arange(0.15, 0.9, 0.15))
+    for r in serve_rows:
+        print(f"[serve] thr={r['threshold']:.2f} recall={r['avg_recall']:.4f} "
+              f"nprobe={r['avg_nprobe']:.1f} ndis={r['avg_cmp']:.0f} "
+              f"({100 * r['avg_cmp'] / n:.2f}% corpus) QPS={r['qps']:.0f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
