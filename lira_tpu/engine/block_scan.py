@@ -129,9 +129,36 @@ def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, 
     out_ref[...] = scores.reshape(qb, S_TILES, 128).min(axis=-1).T[None]
 
 
+def _dedup_topk_dev(ids: jax.Array, neg: jax.Array, k: int):
+    """Per-row: drop duplicate ids (keep best-scored first occurrence),
+    compress survivors to the front, truncate to k.  Rows arrive sorted by
+    score ascending (top_k output), so first occurrence = best.  Device twin
+    of engine/serve._dedup_topk."""
+    B, m = ids.shape
+    order = jnp.argsort(ids, axis=1, stable=True)
+    sorted_ids = jnp.take_along_axis(ids, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [
+            jnp.zeros((B, 1), bool),
+            (sorted_ids[:, 1:] == sorted_ids[:, :-1]) & (sorted_ids[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    dup = jnp.zeros_like(dup_sorted).at[jnp.arange(B)[:, None], order].set(dup_sorted)
+    keep = ~dup & (ids >= 0)
+    comp = jnp.argsort(~keep, axis=1, stable=True)  # kept entries first, score order
+    out_ids = jnp.take_along_axis(ids, comp, axis=1)[:, :k]
+    out_neg = jnp.take_along_axis(neg, comp, axis=1)[:, :k]
+    n_keep = keep.sum(axis=1, keepdims=True)
+    slot = jnp.arange(k)[None, :]
+    out_ids = jnp.where(slot < n_keep, out_ids, -1)
+    out_neg = jnp.where(slot < n_keep, out_neg, -jnp.inf)
+    return out_ids, out_neg
+
+
 @partial(
     jax.jit,
-    static_argnames=("metric", "kg", "fetch_k", "qb", "precision", "interpret", "sub"),
+    static_argnames=("metric", "kg", "fetch_k", "k", "qb", "precision", "interpret", "sub"),
 )
 def _scan_all(
     q_pad: jax.Array,  # (B_pad, d) f32
@@ -146,12 +173,14 @@ def _scan_all(
     metric: str,
     kg: int,
     fetch_k: int,
+    k: int,
     qb: int,
     precision: str,
     interpret: bool,
     sub: int = 64,
 ):
-    """(scores (B_pad, fetch_k), ids (B_pad, fetch_k)) — one device program."""
+    """(scores (B_pad, k), ids (B_pad, k)) — one device program, including
+    the dedup of replicated points to k distinct neighbors."""
     B, d = q_pad.shape
     n_blocks, U = supers.shape
     q_perm = q_pad[perm]
@@ -246,10 +275,11 @@ def _scan_all(
     neg, ids = jax.lax.map(per_block, (gmin, probed_p, tb, supers, q_perm.reshape(n_blocks, qb, d)))
     neg = neg.reshape(B, k_loc)
     ids = ids.reshape(B, k_loc)
-    if k_loc < fetch_k:
-        pad = fetch_k - k_loc
+    if k_loc < k:  # tiny layouts: fewer candidates than k
+        pad = k - k_loc
         neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)
         ids = jnp.concatenate([ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
+    ids, neg = _dedup_topk_dev(ids, neg, k)
 
     # un-permute back to caller order
     out_scores = jnp.zeros_like(neg).at[perm].set(-neg)
@@ -350,11 +380,13 @@ def blocked_search(
     queries: np.ndarray,  # (B, d) f32
     threshold: float,
     fetch_k: int,
+    k: int,
     block_q: int = 256,
     margin: int | None = None,
     interpret: bool | None = None,
 ):
-    """(scores, ids, nprobe, ndis) — two device round trips for the batch."""
+    """(scores (B,k), ids (B,k), nprobe, ndis) — two device round trips,
+    deduplicated to k distinct neighbors on device."""
     import os
     import time as _time
 
@@ -418,7 +450,7 @@ def blocked_search(
     scores, ids = _scan_all(
         q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
         state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
-        metric=engine.metric, kg=kg, fetch_k=fetch_k, qb=qb,
+        metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
         precision=precision, interpret=interpret,
     )
     out = (

@@ -150,7 +150,7 @@ class QueryEngine:
         scan_impl: str = "auto",  # 'auto' | 'blocked' | 'xla' | 'pallas'
         scan_dtype: str = "float32",  # 'float32' | 'bfloat16' (fast mode)
         probe_cap: int | None = None,  # device-side top-M bucket selection
-        block_q: int = 256,  # blocked scan: queries per union block
+        block_q: int = 1024,  # blocked scan: queries per union block
         block_margin: int | None = None,  # blocked scan: extra tiles selected
         prober=None,  # optional queries -> (B, n_bkt) scores, replacing the MLP
     ):
@@ -338,10 +338,9 @@ class QueryEngine:
 
             fetch_k = k * self.n_mul  # dedup slots; round 2 is f32-exact
             scores, ids, nprobe, ndis = blocked_search(
-                self._block_state, self, queries, threshold, fetch_k,
+                self._block_state, self, queries, threshold, fetch_k, k,
                 block_q=self.block_q, margin=self.block_margin,
             )
-            ids, scores = _dedup_topk(ids, scores, k)
             return SearchResult(
                 ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
                 elapsed=time.perf_counter() - t0,

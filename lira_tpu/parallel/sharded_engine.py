@@ -156,7 +156,7 @@ class ShardedQueryEngine:
         axis: str = "data",
         n_mul: int = 2,
         probe_cap: int | None = None,
-        block_q: int = 256,
+        block_q: int = 1024,
         margin: int = 8,
     ):
         self.mesh = mesh

@@ -6,7 +6,7 @@ points spanning realistic ndis budgets.  The probing model is untrained —
 QPS depends only on the ndis/nprobe distribution, which we pin via
 threshold choice on the model's output quantiles.
 
-Usage: python scripts/tpu_serve_bench.py [n_base] [n_bkt] [batch] [impl_filter]
+Usage: python scripts/tpu_serve_bench.py [n_base] [n_bkt] [batch] [impl_filter] [block_q]
 """
 import sys
 import time
@@ -40,6 +40,7 @@ def main():
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
     impl_filter = sys.argv[4] if len(sys.argv) > 4 else None
+    block_q = int(sys.argv[5]) if len(sys.argv) > 5 else 256
     d = 128
 
     rng = np.random.default_rng(43)
@@ -74,7 +75,7 @@ def main():
         if impl_filter and impl_filter not in name:
             continue
         try:
-            eng = QueryEngine(x_d, layout, km.centroids, scaler, params, probe_cap=128, **kw)
+            eng = QueryEngine(x_d, layout, km.centroids, scaler, params, probe_cap=128, block_q=block_q, **kw)
             outputs = eng.probe(x_q[:512])
             for target_nprobe in (8, 32, 96):
                 thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
