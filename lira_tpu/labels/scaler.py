@@ -81,17 +81,65 @@ def scaled_centroid_distances(
     centroids: np.ndarray,
     chunk_rows: int = 65536,
     scaler: StandardScaler | None = None,
+    device_resident: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, StandardScaler]:
     """Sqrt-L2 distances to all centroids, standardized on the data distribution.
 
-    Streams the corpus through the TPU distance kernel in chunks (one pass
-    accumulating scaler moments, then a transform pass reusing the computed
-    chunks when they fit, recomputing otherwise is unnecessary since we keep
-    the raw matrix — it is (n, n_bkt) float32, the same size the model input
-    needs anyway).
+    Streams the corpus through the TPU distance kernel in chunks.  On TPU
+    (`device_resident` auto-True) the (n, n_bkt) feature matrix stays in HBM
+    end to end: scaler moments accumulate on device with a shifted-sum
+    formulation (first-chunk mean as the shift, so f32 accumulation loses no
+    variance precision) and only two (n_bkt,) vectors leave the chip —
+    a 1M×1024 run otherwise pulls and re-pushes ~8 GB through the host.
+    Off-TPU returns host arrays (unchanged semantics).
     """
+    import jax
+
+    if device_resident is None:
+        device_resident = jax.default_backend() == "tpu" and scaler is None
     c = jnp.asarray(centroids, dtype=jnp.float32)
     n = len(x_d)
+
+    if device_resident:
+        dist_dev = jnp.zeros((n, centroids.shape[0]), jnp.float32)
+        place = jax.jit(
+            lambda b, ch, s: jax.lax.dynamic_update_slice(b, ch, (s, 0)),
+            donate_argnums=0,
+        )
+        shift = None
+        s1 = s2 = None
+        cnt = 0
+        moments = jax.jit(
+            lambda d, sh: (jnp.sum(d - sh, axis=0), jnp.sum((d - sh) ** 2, axis=0))
+        )
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            d_chunk = l2_to_centroids(jnp.asarray(x_d[s:e]), c)
+            if shift is None:
+                shift = jnp.mean(d_chunk, axis=0)
+                s1 = jnp.zeros_like(shift)
+                s2 = jnp.zeros_like(shift)
+            m1, m2 = moments(d_chunk, shift)
+            s1, s2 = s1 + m1, s2 + m2
+            cnt += e - s
+            dist_dev = place(dist_dev, d_chunk, jnp.int32(s))
+        sh = np.asarray(shift, np.float64)
+        m1 = np.asarray(s1, np.float64) / cnt
+        var = np.maximum(np.asarray(s2, np.float64) / cnt - m1 * m1, 0.0)
+        scaler = StandardScaler()
+        scaler.mean_ = (sh + m1).astype(np.float32)
+        scale = np.sqrt(var)
+        scale[scale < 1e-12] = 1.0
+        scaler.scale_ = scale.astype(np.float32)
+        scaler._count = cnt
+        mean_dev = jnp.asarray(scaler.mean_)
+        scale_dev = jnp.asarray(scaler.scale_)
+        dist_dev = jax.jit(lambda d: (d - mean_dev) / scale_dev, donate_argnums=0)(dist_dev)
+        dist_q = None
+        if x_q is not None:
+            dist_q = scaler.transform(np.asarray(l2_to_centroids(jnp.asarray(x_q), c)))
+        return dist_dev, dist_q, scaler
+
     dist_d = np.empty((n, centroids.shape[0]), dtype=np.float32)
     for s in range(0, n, chunk_rows):
         e = min(s + chunk_rows, n)

@@ -96,17 +96,25 @@ def train_epoch(
     n = len(dist)
     params, opt_state = state.params, state.opt_state
     loss_sum, n_batches = 0.0, 0
+    device_resident = isinstance(dist, jax.Array)
     for s, e, padded in _superbatches(n, batch_size, super_rows):
-        bd = np.zeros((padded, dist.shape[1]), np.float32)
-        bv = np.zeros((padded, vec.shape[1]), np.float32)
-        bt = np.zeros((padded, targets.shape[1]), np.float32)
-        mask = np.zeros(padded, np.float32)
-        bd[: e - s], bv[: e - s], bt[: e - s] = dist[s:e], vec[s:e], targets[s:e]
-        mask[: e - s] = 1.0
+        if device_resident and padded == e - s:
+            # features already in HBM (see pipelines): slice on device, no
+            # host→device re-upload per epoch
+            bd, bv, bt = dist[s:e], vec[s:e], targets[s:e]
+            mask = jnp.ones(padded, jnp.float32)
+        else:
+            bd = np.zeros((padded, dist.shape[1]), np.float32)
+            bv = np.zeros((padded, vec.shape[1]), np.float32)
+            bt = np.zeros((padded, targets.shape[1]), np.float32)
+            mask_np = np.zeros(padded, np.float32)
+            bd[: e - s] = np.asarray(dist[s:e])
+            bv[: e - s] = np.asarray(vec[s:e])
+            bt[: e - s] = np.asarray(targets[s:e])
+            mask_np[: e - s] = 1.0
+            bd, bv, bt, mask = map(jnp.asarray, (bd, bv, bt, mask_np))
         params, opt_state, ls = _train_superbatch(
-            params, opt_state, state.tx,
-            jnp.asarray(bd), jnp.asarray(bv), jnp.asarray(bt), jnp.asarray(mask),
-            batch_size,
+            params, opt_state, state.tx, bd, bv, bt, mask, batch_size,
         )
         loss_sum += float(ls)
         n_batches += padded // batch_size

@@ -123,6 +123,20 @@ def run_smallscale(
         if cfg.pth_log and cfg.file_name:
             scaler.save(cfg.pth_log, cfg.file_name)
 
+    # training features fit HBM → upload once, train every epoch from device
+    # slices (saves ~9 GB of host→device re-uploads per epoch at 1M×1024)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    train_dist, train_vec, train_tgt = dist_d, x_d, labels_data
+    if (
+        _jax.default_backend() == "tpu"
+        and dist_d.nbytes + labels_data.nbytes + x_d.nbytes < 9e9
+    ):
+        train_dist = _jnp.asarray(dist_d)
+        train_vec = _jnp.asarray(x_d)
+        train_tgt = _jnp.asarray(labels_data)
+
     # (4) probing model training
     state = make_train_state(cfg.seed, n_bkt, dim, lr=cfg.lr)
     epoch_rows = []
@@ -143,7 +157,7 @@ def run_smallscale(
     eval_epoch(-1)
     for epoch in range(cfg.n_epoch):
         t0 = time.perf_counter()
-        state, loss_train = train_epoch(state, dist_d, x_d, labels_data, batch_size=cfg.batch_size)
+        state, loss_train = train_epoch(state, train_dist, train_vec, train_tgt, batch_size=cfg.batch_size)
         t_train = time.perf_counter() - t0
         fprint(f"Epoch {epoch}, Train Loss: {loss_train:.5f}, time_train: {t_train:.2f}s", fw)
         outputs = eval_epoch(epoch, loss_train)
@@ -163,7 +177,7 @@ def run_smallscale(
         results_pq = per_query_nprobe(outputs, cnt_query, layout.sizes, cfg.k, csv_path=csv)
         fprint(f">> per-query study: mean nprobe@0.98 = {results_pq[:, 1].mean():.2f}", fw)
         _, data_predicts_diag, _, data_outputs_diag = evaluate(
-            state, dist_d, x_d, labels_data, sigma=cfg.sigma, batch_size=cfg.batch_size
+            state, train_dist, train_vec, train_tgt, sigma=cfg.sigma, batch_size=cfg.batch_size
         )
         tail = observe_knn_tail(
             cnt_query, data_outputs_diag, dist_d, knn_query, data_2_bkt, max_points=2000
@@ -180,7 +194,7 @@ def run_smallscale(
     sweep_parts = []
     if cfg.duplicate_type == "model":
         _, data_predicts, _, data_scores = evaluate(
-            state, dist_d, x_d, labels_data, sigma=cfg.sigma, batch_size=cfg.batch_size
+            state, train_dist, train_vec, train_tgt, sigma=cfg.sigma, batch_size=cfg.batch_size
         )
         with stage_timer("baseline scan + sweep (part 0)", fw):
             corpus = BucketCorpus.build(x_d, layout)

@@ -146,3 +146,21 @@ def test_label_recall():
     np.testing.assert_allclose(label_recall(predicts2, gtb, k=2), [0.5])
     # probe nothing -> 0
     np.testing.assert_allclose(label_recall(np.zeros((1, 4), bool), gtb, k=2), [0.0])
+
+
+def test_scaled_distances_device_resident_matches_host(rng):
+    """The on-device shifted-moment scaler path must match the host
+    (sklearn-parity) path to float tolerance and return the same features."""
+    x_d = rng.normal(loc=2.0, size=(3000, 12)).astype(np.float32)
+    x_q = rng.normal(size=(40, 12)).astype(np.float32)
+    cent = rng.normal(size=(9, 12)).astype(np.float32)
+    d_host, q_host, sc_host = scaled_centroid_distances(
+        x_d, x_q, cent, chunk_rows=700, device_resident=False
+    )
+    d_dev, q_dev, sc_dev = scaled_centroid_distances(
+        x_d, x_q, cent, chunk_rows=700, device_resident=True
+    )
+    np.testing.assert_allclose(sc_dev.mean_, sc_host.mean_, rtol=1e-5)
+    np.testing.assert_allclose(sc_dev.scale_, sc_host.scale_, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_dev), d_host, rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(q_dev, q_host, rtol=1e-4, atol=1e-5)
