@@ -23,6 +23,9 @@ import os
 import time
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
 
 from ..config import Config
 from ..engine.scan import BucketCorpus, bucket_topk
@@ -32,11 +35,13 @@ from ..labels.distr import gt_bucket_map, knn_bucket_labels
 from ..labels.scaler import scaled_centroid_distances
 from ..logging_utils import ascii_table, fprint, stage_timer
 from ..models.metrics import probing_metrics
-from ..models.train import evaluate, infer, make_train_state, train_epoch
+from ..models.train import evaluate, make_train_state, train_epoch
 from ..ops.knn import exact_knn
+from ..models.probing_mlp import forward as _mlp_forward
+from ..ops.distance import l2_to_centroids as _l2c
 from ..partition.assign import build_bucket_layout
 from ..partition.kmeans import kmeans_assign, kmeans_fit
-from ..redundancy.assign import redundancy_rows
+from ..redundancy.assign import _redundancy_rows_jit
 from .smallscale import _epochs_to_csv, get_self_knn
 
 
@@ -66,6 +71,19 @@ def query_knn_on_subset(
     return knn
 
 
+@partial(jax.jit, static_argnames=("n_mul",))
+def _fused_redundancy_batch(params, centroids, mean, scale, batch, cur, sigma, n_mul):
+    """probe → σ-threshold → redundancy rule, one device program.
+
+    Only the (rows, n_mul) int32 assignment leaves the device — the old
+    per-batch flow pulled the full (rows, n_bkt) score matrix to the host
+    (8 GB per 1M-row batch at n_bkt=2048)."""
+    d = _l2c(batch, centroids)
+    outputs = _mlp_forward(params, (d - mean) / scale, batch)
+    predicts = outputs > sigma
+    return _redundancy_rows_jit(outputs, predicts, cur, n_mul)
+
+
 def full_corpus_redundancy(
     x_d: np.ndarray,
     data_2_bkt: np.ndarray,
@@ -79,13 +97,20 @@ def full_corpus_redundancy(
     mul_partition_by_model at :51-72)."""
     n_d = len(x_d)
     out = np.array(data_2_bkt, copy=True)
+    cj = jnp.asarray(centroids, jnp.float32)
+    mean = jnp.asarray(scaler.mean_)
+    scale = jnp.asarray(scaler.scale_)
+    params = getattr(state, "params", state)
     for s in range(0, n_d, cfg.redundancy_batch):
         e = min(s + cfg.redundancy_batch, n_d)
-        batch = x_d[s:e]
-        dist_b, _, _ = scaled_centroid_distances(batch, None, centroids, scaler=scaler)
-        predicts, scores = infer(state, dist_b, batch, sigma=cfg.sigma)
-        cur = out[s:e, 0]
-        out[s:e] = redundancy_rows(scores, predicts, cur, cfg.n_mul)
+        out[s:e] = np.asarray(
+            _fused_redundancy_batch(
+                params, cj, mean, scale,
+                jnp.asarray(x_d[s:e], jnp.float32),
+                jnp.asarray(out[s:e, 0], jnp.int32),
+                jnp.float32(cfg.sigma), cfg.n_mul,
+            )
+        )
     return out
 
 
