@@ -1,7 +1,9 @@
 """Multi-chip query serving: corpus sharded over the mesh, top-k merged over ICI.
 
-Buckets are distributed across devices with a greedy balanced partition
-(largest bucket → least-loaded device).  Queries are replicated; each device
+Placement is tile-granular: the global concatenated tile sequence is sliced
+into n_dev near-equal contiguous segments, so a skewed bucket distribution
+(one giant bucket) is spread across devices instead of pinning one device's
+table shape and scan time to the skew.  Queries are replicated; each device
 runs the *blocked union scan* over its local probed tiles (the same
 group-min screen → masked select → exact f32 rescan as the single-chip
 engine/block_scan.py, in XLA-gather form so it runs inside shard_map on any
@@ -172,26 +174,38 @@ class ShardedQueryEngine:
         x_d = np.asarray(x_d, dtype=np.float32)
         dim = x_d.shape[1]
 
-        groups = balanced_bucket_split(layout.padded_sizes, n_dev)
-        self.groups = groups
         self.tiles_per_bucket = (layout.padded_sizes // self.tile).astype(np.int64)
         self.sizes = layout.sizes
 
-        local_tiles = [int(self.tiles_per_bucket[g].sum()) for g in groups]
-        t_pad = max(_pow2ceil(max(local_tiles)), 1)
+        # Tile-granular placement: the global concatenated tile sequence
+        # (buckets in id order) is sliced into n_dev near-equal contiguous
+        # segments.  A giant bucket is spread across devices instead of
+        # pinning one device's table shape (and its scan) to the skew —
+        # per-device HBM and scan work are balanced to within one tile
+        # regardless of the bucket size distribution.
+        nt_all = self.tiles_per_bucket
+        gstart = np.concatenate([[0], np.cumsum(nt_all)]).astype(np.int64)
+        total_tiles = int(gstart[-1])
+        bounds = np.round(np.linspace(0, total_tiles, n_dev + 1)).astype(np.int64)
+        t_pad = max(int(np.diff(bounds).max()), 1)
         self.t_pad = t_pad
-        # local tile ranges per bucket, per device + local tile → bucket map
-        self.local_tile_start = np.full((n_dev, layout.n_bkt), -1, np.int64)
+
+        # per (device, bucket): local start, within-bucket tile offset, count
+        lo, hi = bounds[:-1, None], bounds[1:, None]
+        ov_lo = np.maximum(lo, gstart[None, :-1])
+        ov_hi = np.minimum(hi, gstart[None, 1:])
+        cnt = np.maximum(ov_hi - ov_lo, 0)
+        self.local_tile_count = cnt
+        self.local_tile_start = np.where(cnt > 0, ov_lo - lo, -1)
+        self.bucket_tile_off = np.where(cnt > 0, ov_lo - gstart[None, :-1], 0)
         self.tile_bucket = np.full((n_dev, t_pad), -1, np.int32)
-        for d, g in enumerate(groups):
-            pos = 0
-            for b in g:
-                nt = int(self.tiles_per_bucket[b])
-                if nt == 0:
-                    continue
-                self.local_tile_start[d, b] = pos
-                self.tile_bucket[d, pos : pos + nt] = b
-                pos += nt
+        for d in range(n_dev):
+            bs = np.nonzero(cnt[d] > 0)[0]
+            pos = np.repeat(self.local_tile_start[d, bs], cnt[d, bs])
+            within = np.arange(len(pos)) - np.repeat(
+                np.cumsum(cnt[d, bs]) - cnt[d, bs], cnt[d, bs]
+            )
+            self.tile_bucket[d, pos + within] = np.repeat(bs, cnt[d, bs]).astype(np.int32)
 
         p_off = layout.padded_offsets
 
@@ -200,16 +214,14 @@ class ShardedQueryEngine:
             is a single shard, not the whole corpus."""
             vec = np.zeros((t_pad * self.tile, dim), np.float32)
             idt = np.full(t_pad * self.tile, -1, np.int32)
-            for b in groups[d]:
-                nt = int(self.tiles_per_bucket[b])
-                if nt == 0:
-                    continue
+            for b in np.nonzero(cnt[d] > 0)[0]:
+                nt = int(cnt[d, b])
                 pos = int(self.local_tile_start[d, b]) * self.tile
-                pid = layout.padded_ids[p_off[b] : p_off[b + 1]]
+                off = int(self.bucket_tile_off[d, b]) * self.tile
+                pid = layout.padded_ids[p_off[b] + off : p_off[b] + off + nt * self.tile]
                 ok = pid >= 0
-                seg = np.zeros((nt * self.tile, dim), np.float32)
-                seg[ok] = x_d[pid[ok]]
-                vec[pos : pos + nt * self.tile] = seg
+                rows = vec[pos : pos + nt * self.tile]
+                rows[ok] = x_d[pid[ok]]
                 idt[pos : pos + nt * self.tile] = pid
             return vec.reshape(t_pad, self.tile, dim), idt.reshape(t_pad, self.tile)
 
@@ -299,12 +311,12 @@ class ShardedQueryEngine:
 
     def _block_unions(self, probed_any: np.ndarray):
         """(n_dev, U) local union tile lists + (n_dev, U) bucket ids."""
-        n_dev = len(self.groups)
+        n_dev = self.mesh.devices.size
         per_dev = []
         for d in range(n_dev):
-            owned = self.local_tile_start[d] >= 0
+            owned = self.local_tile_count[d] > 0
             bs = np.nonzero(probed_any & owned)[0]
-            reps = self.tiles_per_bucket[bs]
+            reps = self.local_tile_count[d, bs]
             total = int(reps.sum())
             if total == 0:
                 per_dev.append(np.zeros(0, np.int32))
