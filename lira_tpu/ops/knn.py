@@ -113,14 +113,29 @@ def _knn_query_tile(
 
 
 def _prepare_corpus(base, metric: str, b_tile: int):
-    """Device-resident transposed corpus + norm/penalty vector."""
+    """Device-resident transposed corpus + norm/penalty vector.
+
+    Host numpy inputs are transposed/padded on the host and uploaded as ONE
+    device buffer — doing it on device peaks at ~3 corpus copies (input,
+    zeros target, transpose), which OOMs a 16 GB chip at 10M×128 f32."""
     n_b, dim = base.shape
     b_tile = min(b_tile, _round_up(n_b, 128))
     n_pad = _round_up(n_b, b_tile)
+    if isinstance(base, np.ndarray):
+        bt = np.zeros((dim, n_pad), dtype=np.float32)
+        bt[:, :n_b] = np.asarray(base, dtype=np.float32).T
+        base_t = jnp.asarray(bt)
+        del bt
+        sq_host = np.zeros(n_pad, dtype=np.float32)
+        if metric != "inner_product":
+            np.einsum("ij,ij->i", base, base, out=sq_host[:n_b],
+                      dtype=np.float32, casting="unsafe")
+        # large *finite* penalty: +inf would become NaN through the one-hot
+        # matmul extraction (inf × 0) in _chunk_topk3
+        sq_host[n_b:] = 1e30
+        return base_t, jnp.asarray(sq_host), b_tile
     base = jnp.asarray(base, dtype=jnp.float32)
     base_t = jnp.zeros((dim, n_pad), dtype=jnp.float32).at[:, :n_b].set(base.T)
-    # large *finite* penalty: +inf would become NaN through the one-hot
-    # matmul extraction (inf × 0) in _chunk_topk3
     penalty = jnp.where(jnp.arange(n_pad) < n_b, 0.0, 1e30).astype(jnp.float32)
     if metric == "inner_product":
         base_sq = penalty

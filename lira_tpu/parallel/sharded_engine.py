@@ -29,7 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..labels.scaler import StandardScaler
-from ..engine.serve import SearchResult, _dedup_topk, _probe, _probe_topm
+from ..engine.block_scan import _dedup_topk_dev, _probe_prepare
+from ..engine.serve import SearchResult, _probe, _probe_topm
 from ..ops.distance import row_sqnorms
 from ..partition.assign import BucketLayout
 
@@ -48,80 +49,95 @@ def balanced_bucket_split(padded_sizes: np.ndarray, n_dev: int) -> list[np.ndarr
     return [np.array(sorted(g), dtype=np.int64) for g in groups]
 
 
-def _local_blocked_scan(
-    q, probed, sel, tb, corpus, bsq, ids,
-    *, fetch_k: int, kg: int, metric: str, axis: str, tile: int, chunk: int, sub: int,
+def _local_blocked_scan_all(
+    q, probed, perm, sel, tb, corpus, bsq, ids,
+    *, fetch_k: int, kg: int, k: int, metric: str, axis: str, tile: int,
+    chunk: int, sub: int, qb: int,
 ):
-    """Per-device blocked union scan + cross-device merge; runs inside shard_map.
+    """Per-device blocked union scan over EVERY query block, one ICI merge,
+    on-device dedup — runs inside shard_map as one program per batch.
 
-    sel: (1, U) local tile ids of this device's probed-bucket union (-1 pad);
-    tb:  (1, U) bucket id per union tile (-1 pad);
+    q/probed/perm: (B_pad, d) f32 / (B_pad, n_bkt) bool / (B_pad,) i32,
+    replicated, caller order (perm sorts queries by top-1 bucket so blocks
+    share probed tiles);
+    sel: (1, n_blocks, U) local tile ids of this device's per-block
+    probed-bucket unions (-1 pad);
+    tb:  (1, n_blocks, U) bucket id per union tile (-1 pad);
     corpus/bsq/ids: (1, t_pad, tile, d) / (1, t_pad, tile) local tables.
+    Returns (scores (B_pad, k), ids (B_pad, k)) in caller order.
     """
     sel, tb = sel[0], tb[0]
     corpus, bsq, ids = corpus[0], bsq[0], ids[0]
     B, d = q.shape
-    U = sel.shape[0]
+    n_blocks, U = sel.shape
+    q_perm = q[perm].reshape(n_blocks, qb, d)
+    probed_p = probed[perm].reshape(n_blocks, qb, -1)
     n_chunks = U // chunk
-
-    # round 1: streamed group-min over the union (never materializes (B, U·tile))
-    def gbody(_, i):
-        s = jax.lax.dynamic_slice_in_dim(sel, i * chunk, chunk)
-        safe = jnp.maximum(s, 0)
-        vec = corpus[safe].reshape(chunk * tile, d)
-        sq = bsq[safe].reshape(1, chunk * tile)
-        dot = jax.lax.dot_general(
-            q, vec, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision="highest", preferred_element_type=jnp.float32,
-        )
-        scores = sq - dot if metric == "inner_product" else sq - 2.0 * dot
-        gmin = scores.reshape(B, chunk, tile).min(axis=-1)
-        return None, gmin + jnp.where(s < 0, _BIG, 0.0)[None, :]
-
-    _, gmins = jax.lax.scan(gbody, None, jnp.arange(n_chunks))
-    gmin = jnp.moveaxis(gmins, 0, 1).reshape(B, U)
-
-    # probed-penalty mask per (query, bucket), expanded to union tiles
-    pen_b = jnp.where(probed.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, B)
-    pen_b = jnp.concatenate([pen_b, jnp.full((1, B), _BIG, jnp.float32)], axis=0)
-    tbx = jnp.where(tb >= 0, tb, pen_b.shape[0] - 1)
-    masked = gmin + pen_b[tbx].T
-
     kg_eff = min(kg, U)
-    vals, usel = jax.lax.top_k(-masked, kg_eff)
-    gsel = jnp.maximum(sel[usel], 0)  # (B, kg_eff)
-    valid = vals > -(_BIG / 2)
-
-    # round 2: exact rescan of the selected tiles, in query sub-batches
     k_loc = min(fetch_k, kg_eff * tile)
 
-    def rbody(args):
-        qs, sg, val = args
-        vec = corpus[sg]  # (sub, kg, tile, d) tile-granular gather
-        dotr = jnp.einsum(
-            "stgd,sd->stg", vec, qs, precision="highest",
-            preferred_element_type=jnp.float32,
-        )
-        sqr = bsq[sg]
-        sc = sqr - dotr if metric == "inner_product" else sqr - 2.0 * dotr
-        idg = ids[sg]
-        sc = sc + jnp.where(val, 0.0, _BIG)[:, :, None]
-        sc = jnp.where(idg >= 0, sc, _BIG)
-        n = qs.shape[0]
-        neg, pos = jax.lax.top_k(-sc.reshape(n, kg_eff * tile), k_loc)
-        oid = jnp.take_along_axis(idg.reshape(n, kg_eff * tile), pos, axis=1)
-        return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
+    def per_block(args):
+        qs, pb, sl, tbb = args  # (qb, d), (qb, n_bkt), (U,), (U,)
 
-    sub_eff = sub if B % sub == 0 else B
-    n_sub = B // sub_eff
-    neg, out_ids = jax.lax.map(
-        rbody,
-        (
-            q.reshape(n_sub, sub_eff, d),
-            gsel.reshape(n_sub, sub_eff, kg_eff),
-            valid.reshape(n_sub, sub_eff, kg_eff),
-        ),
-    )
+        # round 1: streamed group-min over the block's local union
+        # (never materializes (qb, U·tile))
+        def gbody(_, i):
+            s = jax.lax.dynamic_slice_in_dim(sl, i * chunk, chunk)
+            safe = jnp.maximum(s, 0)
+            vec = corpus[safe].reshape(chunk * tile, d)
+            sq = bsq[safe].reshape(1, chunk * tile)
+            dot = jax.lax.dot_general(
+                qs, vec, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision="highest", preferred_element_type=jnp.float32,
+            )
+            scores = sq - dot if metric == "inner_product" else sq - 2.0 * dot
+            gmin = scores.reshape(qb, chunk, tile).min(axis=-1)
+            return None, gmin + jnp.where(s < 0, _BIG, 0.0)[None, :]
+
+        _, gmins = jax.lax.scan(gbody, None, jnp.arange(n_chunks))
+        gmin = jnp.moveaxis(gmins, 0, 1).reshape(qb, U)
+
+        # probed-penalty mask per (query, bucket), expanded to union tiles
+        pen_b = jnp.where(pb.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, qb)
+        pen_b = jnp.concatenate([pen_b, jnp.full((1, qb), _BIG, jnp.float32)], axis=0)
+        tbx = jnp.where(tbb >= 0, tbb, pen_b.shape[0] - 1)
+        masked = gmin + pen_b[tbx].T
+
+        vals, usel = jax.lax.top_k(-masked, kg_eff)
+        gsel = jnp.maximum(sl[usel], 0)  # (qb, kg_eff)
+        valid = vals > -(_BIG / 2)
+
+        # round 2: exact rescan of the selected tiles, in query sub-batches
+        def rbody(rargs):
+            rqs, sg, val = rargs
+            vec = corpus[sg]  # (sub, kg, tile, d) tile-granular gather
+            dotr = jnp.einsum(
+                "stgd,sd->stg", vec, rqs, precision="highest",
+                preferred_element_type=jnp.float32,
+            )
+            sqr = bsq[sg]
+            sc = sqr - dotr if metric == "inner_product" else sqr - 2.0 * dotr
+            idg = ids[sg]
+            sc = sc + jnp.where(val, 0.0, _BIG)[:, :, None]
+            sc = jnp.where(idg >= 0, sc, _BIG)
+            n = rqs.shape[0]
+            neg, pos = jax.lax.top_k(-sc.reshape(n, kg_eff * tile), k_loc)
+            oid = jnp.take_along_axis(idg.reshape(n, kg_eff * tile), pos, axis=1)
+            return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
+
+        sub_eff = sub if qb % sub == 0 else qb
+        n_sub = qb // sub_eff
+        neg, oid = jax.lax.map(
+            rbody,
+            (
+                qs.reshape(n_sub, sub_eff, d),
+                gsel.reshape(n_sub, sub_eff, kg_eff),
+                valid.reshape(n_sub, sub_eff, kg_eff),
+            ),
+        )
+        return neg.reshape(qb, k_loc), oid.reshape(qb, k_loc)
+
+    neg, out_ids = jax.lax.map(per_block, (q_perm, probed_p, sel, tb))
     neg = neg.reshape(B, k_loc)
     out_ids = out_ids.reshape(B, k_loc)
     if k_loc < fetch_k:  # tiny shard: pad so the cross-device merge is uniform
@@ -129,14 +145,20 @@ def _local_blocked_scan(
         neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)
         out_ids = jnp.concatenate([out_ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
 
-    # ICI merge: gather every shard's top-fetch_k and re-rank
+    # ICI merge: gather every shard's top-fetch_k and re-rank, once per batch
     all_neg = jax.lax.all_gather(neg, axis)  # (n_dev, B, fetch_k)
     all_ids = jax.lax.all_gather(out_ids, axis)
     n_dev = all_neg.shape[0]
     flat_neg = jnp.moveaxis(all_neg, 0, 1).reshape(B, n_dev * fetch_k)
     flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, n_dev * fetch_k)
     best_neg, msel = jax.lax.top_k(flat_neg, fetch_k)
-    return -best_neg, jnp.take_along_axis(flat_ids, msel, axis=1)
+    best_ids = jnp.take_along_axis(flat_ids, msel, axis=1)
+
+    # dedup replicated points to k distinct neighbors, un-permute to caller order
+    ded_ids, ded_neg = _dedup_topk_dev(best_ids, best_neg, k)
+    out_scores = jnp.zeros_like(ded_neg).at[perm].set(-ded_neg)
+    final_ids = jnp.full_like(ded_ids, -1).at[perm].set(ded_ids)
+    return out_scores, final_ids
 
 
 def _pow2ceil(x: int) -> int:
@@ -292,16 +314,17 @@ class ShardedQueryEngine:
 
     # ---------- scan ----------
 
-    def _scan_fn(self, fetch_k: int, kg: int, U: int, chunk: int):
-        key = (fetch_k, kg, U, chunk)
+    def _scan_fn(self, fetch_k: int, kg: int, k: int, U: int, chunk: int, qb: int):
+        key = (fetch_k, kg, k, U, chunk, qb)
         if key not in self._scan_cache:
             fn = jax.shard_map(
                 partial(
-                    _local_blocked_scan, fetch_k=fetch_k, kg=kg, metric=self.metric,
-                    axis=self.axis, tile=self.tile, chunk=chunk, sub=64,
+                    _local_blocked_scan_all, fetch_k=fetch_k, kg=kg, k=k,
+                    metric=self.metric, axis=self.axis, tile=self.tile,
+                    chunk=chunk, sub=64, qb=qb,
                 ),
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(self.axis), P(self.axis), P(self.axis),
+                in_specs=(P(), P(), P(), P(self.axis), P(self.axis), P(self.axis),
                           P(self.axis), P(self.axis)),
                 out_specs=(P(), P()),
                 check_vma=False,
@@ -309,78 +332,83 @@ class ShardedQueryEngine:
             self._scan_cache[key] = jax.jit(fn)
         return self._scan_cache[key]
 
-    def _block_unions(self, probed_any: np.ndarray):
-        """(n_dev, U) local union tile lists + (n_dev, U) bucket ids."""
+    def _block_unions(self, union_mask: np.ndarray):
+        """Per-(device, block) local union tile lists + bucket maps.
+
+        union_mask: (n_blocks, n_bkt) bool — per-block probed-bucket unions.
+        Returns (sel (n_dev, n_blocks, U) i32, tb same, U, chunk); U is the
+        pow2 ceiling of the largest (device, block) union so the compile
+        count stays logarithmic in batch mix."""
         n_dev = self.mesh.devices.size
-        per_dev = []
+        n_blocks = union_mask.shape[0]
+        per = {}
+        u_max = 1
         for d in range(n_dev):
             owned = self.local_tile_count[d] > 0
-            bs = np.nonzero(probed_any & owned)[0]
-            reps = self.local_tile_count[d, bs]
-            total = int(reps.sum())
-            if total == 0:
-                per_dev.append(np.zeros(0, np.int32))
-                continue
-            starts = np.repeat(self.local_tile_start[d, bs], reps)
-            cum = np.cumsum(reps) - reps
-            within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
-            per_dev.append((starts + within).astype(np.int32))
-        u_max = max(max(len(t) for t in per_dev), 1)
+            for i in range(n_blocks):
+                bs = np.nonzero(union_mask[i] & owned)[0]
+                reps = self.local_tile_count[d, bs]
+                total = int(reps.sum())
+                if total == 0:
+                    per[d, i] = np.zeros(0, np.int32)
+                    continue
+                starts = np.repeat(self.local_tile_start[d, bs], reps)
+                cum = np.cumsum(reps) - reps
+                within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
+                per[d, i] = (starts + within).astype(np.int32)
+                u_max = max(u_max, total)
         chunk = min(16, _pow2ceil(u_max))
         U = max(chunk, ((u_max + chunk - 1) // chunk) * chunk)
         U = _pow2ceil(U) if U > chunk else U
-        sel = np.full((n_dev, U), -1, np.int32)
-        tb = np.full((n_dev, U), -1, np.int32)
-        for d, t in enumerate(per_dev):
-            sel[d, : len(t)] = t
-            tb[d, : len(t)] = self.tile_bucket[d, t]
+        sel = np.full((n_dev, n_blocks, U), -1, np.int32)
+        tb = np.full((n_dev, n_blocks, U), -1, np.int32)
+        for (d, i), t in per.items():
+            sel[d, i, : len(t)] = t
+            tb[d, i, : len(t)] = self.tile_bucket[d, t]
         return sel, tb, U, chunk
 
     def search(self, queries: np.ndarray, threshold: float, k: int) -> SearchResult:
+        """One probe program → host unions → ONE scan program for the whole
+        batch (single-chip block_scan architecture: 2 device round trips)."""
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
-        q = jnp.asarray(queries)
-        probed, top1 = self._select_probed(q, threshold)
-        B = len(queries)
+        B, d = queries.shape
         n_bkt = self.layout.n_bkt
+        qb = max(8, min(self.block_q, _pow2ceil(B)))
+        B_pad = -(-B // qb) * qb
+        q_pad = np.zeros((B_pad, d), np.float32)
+        q_pad[:B] = queries
+        q_dev = jnp.asarray(q_pad)
 
+        m = min(self.probe_cap or n_bkt, n_bkt)
+        probed, perm, union, nprobe_d, ndis_d = _probe_prepare(
+            self.params, self.centroids, self.scaler_mean, self.scaler_scale,
+            q_dev, jnp.asarray(self.sizes, jnp.int32), jnp.int32(B),
+            jnp.float32(threshold), m, qb,
+        )
+        union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
+        nprobe = np.asarray(nprobe_d[:B])
+        ndis = np.asarray(ndis_d[:B])
+
+        sel, tb, U, chunk = self._block_unions(union)
         fetch_k = k * self.n_mul
-        block_q = max(8, min(self.block_q, _pow2ceil(B)))
-        order = np.argsort(top1, kind="stable")
-        out_ids = np.full((B, fetch_k), -1, np.int32)
-        out_scores = np.full((B, fetch_k), np.inf, np.float32)
+        kg = fetch_k + self.margin
         shard = NamedSharding(self.mesh, P(self.axis))
-
-        for s in range(0, B, block_q):
-            blk = order[s : s + block_q]
-            nsel = len(blk)
-            probed_blk = probed[blk]
-            sel, tb, U, chunk = self._block_unions(probed_blk.any(axis=0))
-            if nsel < block_q:
-                q_blk = np.zeros((block_q, queries.shape[1]), np.float32)
-                q_blk[:nsel] = queries[blk]
-                p_blk = np.zeros((block_q, n_bkt), bool)
-                p_blk[:nsel] = probed_blk
-            else:
-                q_blk, p_blk = queries[blk], probed_blk
-            kg = fetch_k + self.margin
-            fn = self._scan_fn(fetch_k, kg, U, chunk)
-            sc, ids = fn(
-                jnp.asarray(q_blk), jnp.asarray(p_blk),
-                jax.device_put(jnp.asarray(sel), shard),
-                jax.device_put(jnp.asarray(tb), shard),
-                self.corpus, self.corpus_sq, self.corpus_ids,
-            )
-            out_ids[blk] = np.asarray(ids[:nsel])
-            out_scores[blk] = np.asarray(sc[:nsel])
-
-        ids, scores = _dedup_topk(out_ids, out_scores, k)
+        fn = self._scan_fn(fetch_k, kg, k, U, chunk, qb)
+        sc, ids = fn(
+            q_dev, probed, perm,
+            jax.device_put(jnp.asarray(sel), shard),
+            jax.device_put(jnp.asarray(tb), shard),
+            self.corpus, self.corpus_sq, self.corpus_ids,
+        )
+        ids = np.asarray(ids[:B])
+        scores = np.asarray(sc[:B])
         elapsed = time.perf_counter() - t0
         return SearchResult(
             ids=ids,
             scores=scores,
-            nprobe=probed.sum(axis=1),
-            ndis=probed @ self.sizes.astype(np.int64),
+            nprobe=nprobe.astype(np.int64),
+            ndis=ndis.astype(np.int64),
             elapsed=elapsed,
         )
 

@@ -196,6 +196,7 @@ def run_largescale(
     with stage_timer("baseline scan + sweep (part 0)", fw):
         corpus = BucketCorpus.build(x_d, layout)
         found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+        del corpus  # free the padded device corpus before part 1 rebuilds it
         hit = gt_hit_tensor(found, knn_query, gt_buckets)
         sweep_parts.append(
             threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
@@ -210,6 +211,7 @@ def run_largescale(
     with stage_timer("redundant scan + sweep (part 1)", fw):
         corpus = BucketCorpus.build(x_d, layout)
         found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+        del corpus  # release before the caller builds a serving engine
         hit = gt_hit_tensor(found, knn_query, gt_buckets)
         sweep_parts.append(
             threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
