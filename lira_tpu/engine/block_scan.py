@@ -158,7 +158,10 @@ def _dedup_topk_dev(ids: jax.Array, neg: jax.Array, k: int):
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "kg", "fetch_k", "k", "qb", "precision", "interpret", "sub"),
+    static_argnames=(
+        "metric", "kg", "fetch_k", "k", "qb", "precision", "interpret", "sub",
+        "screen_only",
+    ),
 )
 def _scan_all(
     q_pad: jax.Array,  # (B_pad, d) f32
@@ -178,6 +181,7 @@ def _scan_all(
     precision: str,
     interpret: bool,
     sub: int = 64,
+    screen_only: bool = False,  # phase profiling: stop after tile selection
 ):
     """(scores (B_pad, k), ids (B_pad, k)) — one device program, including
     the dedup of replicated points to k distinct neighbors."""
@@ -242,6 +246,13 @@ def _scan_all(
         vals, sel = jax.lax.top_k(-masked.T, kg_eff)  # (qb, kg)
         gtile = supers_b[sel // S_TILES] * S_TILES + sel % S_TILES
         valid = vals > -(_BIG / 2)
+        if screen_only:
+            v, g = vals[:, :k_loc], gtile[:, :k_loc].astype(jnp.int32)
+            if k_loc > kg_eff:
+                pad = k_loc - kg_eff
+                v = jnp.concatenate([v, jnp.full((qb_, pad), -jnp.inf, jnp.float32)], 1)
+                g = jnp.concatenate([g, jnp.full((qb_, pad), -1, jnp.int32)], 1)
+            return v, g
 
         def rbody(rargs):
             qs, sg, val = rargs
