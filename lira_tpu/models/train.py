@@ -96,13 +96,26 @@ def train_epoch(
     n = len(dist)
     params, opt_state = state.params, state.opt_state
     loss_sum, n_batches = 0.0, 0
-    device_resident = isinstance(dist, jax.Array)
+    if isinstance(dist, jax.Array) and not isinstance(targets, jax.Array):
+        # dist already lives in HBM (pipelines stage features on device) but
+        # numpy targets/vec would re-upload EVERY superbatch of EVERY epoch
+        # (~1 GB/epoch at 100k rows x 2048 buckets through a tunneled rig);
+        # promote them once — they are no bigger than the feature matrix
+        targets = jnp.asarray(targets, jnp.float32)
+        vec = jnp.asarray(vec, jnp.float32)
+    device_resident = isinstance(dist, jax.Array) and isinstance(targets, jax.Array)
     for s, e, padded in _superbatches(n, batch_size, super_rows):
-        if device_resident and padded == e - s:
-            # features already in HBM (see pipelines): slice on device, no
-            # host→device re-upload per epoch
+        if device_resident:
+            # features already in HBM (see pipelines): slice — and pad the
+            # ragged tail — on device, no host→device re-upload per epoch
             bd, bv, bt = dist[s:e], vec[s:e], targets[s:e]
             mask = jnp.ones(padded, jnp.float32)
+            if padded != e - s:
+                rows = ((0, padded - (e - s)),)
+                bd = jnp.pad(bd, rows + ((0, 0),))
+                bv = jnp.pad(bv, rows + ((0, 0),))
+                bt = jnp.pad(bt, rows + ((0, 0),))
+                mask = mask.at[e - s :].set(0.0)
         else:
             bd = np.zeros((padded, dist.shape[1]), np.float32)
             bv = np.zeros((padded, vec.shape[1]), np.float32)

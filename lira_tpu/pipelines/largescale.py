@@ -101,8 +101,13 @@ def full_corpus_redundancy(
     mean = jnp.asarray(scaler.mean_)
     scale = jnp.asarray(scaler.scale_)
     params = getattr(state, "params", state)
-    for s in range(0, n_d, cfg.redundancy_batch):
-        e = min(s + cfg.redundancy_batch, n_d)
+    n_bkt = centroids.shape[0]
+    # keep the (rows, n_bkt) f32 score + s32 rank tensors within a fixed HBM
+    # budget: 1M rows x 2048 buckets is 16 GB and OOMs a 16 GB chip
+    budget_rows = max(1 << 14, (1 << 32) // (max(n_bkt, 1) * 8))
+    batch_rows = min(cfg.redundancy_batch, budget_rows)
+    for s in range(0, n_d, batch_rows):
+        e = min(s + batch_rows, n_d)
         out[s:e] = np.asarray(
             _fused_redundancy_batch(
                 params, cj, mean, scale,
@@ -160,6 +165,13 @@ def run_largescale(
             scaler.save(cfg.pth_log, cfg.file_name)
 
     state = make_train_state(cfg.seed, n_bkt, dim, lr=cfg.lr)
+    # stage the subset epoch inputs in HBM once — numpy inputs would be
+    # re-uploaded every epoch (train_epoch promotes per call, not across)
+    if isinstance(dist_sub, jax.Array):
+        x_sub_dev = jnp.asarray(x_sub, jnp.float32)
+        labels_sub_dev = jnp.asarray(labels_sub, jnp.float32)
+    else:
+        x_sub_dev, labels_sub_dev = x_sub, labels_sub
     headers = ["Epoch", "Loss", "Accuracy", "Hit Rate", "nprobe predict",
                "nprobe target", "KNN Recall", "KNN Computations"]
     epoch_rows = []
@@ -178,7 +190,9 @@ def run_largescale(
 
     eval_epoch(-1)
     for epoch in range(cfg.n_epoch):
-        state, loss_train = train_epoch(state, dist_sub, x_sub, labels_sub, batch_size=cfg.batch_size)
+        state, loss_train = train_epoch(
+            state, dist_sub, x_sub_dev, labels_sub_dev, batch_size=cfg.batch_size
+        )
         outputs = eval_epoch(epoch)
 
     # (4) full-corpus assignment with the trained quantizer
