@@ -332,14 +332,19 @@ class BlockScanState:
         else:
             self.corpus_flat = self.corpus_flat_f32
 
-        if metric == "inner_product":
-            sq = np.where(ids >= 0, 0.0, _BIG).astype(np.float32)
-        else:
-            from ..ops.distance import row_sqnorms
-
-            sq = np.where(ids >= 0, row_sqnorms(padded_host), _BIG).astype(np.float32)
-        self.bsq = jnp.asarray(sq.reshape(n_super * S_TILES, tile))
         self.tiles_ids = jnp.asarray(ids.reshape(n_super * S_TILES, tile))
+        if metric == "inner_product":
+            sq = jnp.where(self.tiles_ids >= 0, 0.0, _BIG).astype(jnp.float32)
+        else:
+            # norms from the corpus copy already in HBM — feeding the host
+            # array through a device op would upload the corpus a second
+            # time (~30 min at 10M rows on a tunneled rig)
+            norms = jnp.einsum(
+                "nd,nd->n", self.corpus_flat_f32, self.corpus_flat_f32,
+                precision="highest", preferred_element_type=jnp.float32,
+            ).reshape(n_super * S_TILES, tile)
+            sq = jnp.where(self.tiles_ids >= 0, norms, _BIG)
+        self.bsq = sq
 
         tb = np.asarray(tile_bucket, np.int32)
         pad_tiles = n_super * S_TILES - len(tb)
