@@ -112,21 +112,32 @@ def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int):
 
 
 def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, precision):
-    """One (block, union-supertile) step: (qb, d) × (S·128, d)ᵀ on the MXU →
-    per-tile min, emitted (1, S, qb) so the block is (8, 128)-aligned."""
+    """One (block, union-supertile) step: (S·128, d) × (qb, d)ᵀ on the MXU →
+    per-tile min over SUBLANES, emitted (1, S, qb).
+
+    The dot is computed transposed on purpose: with a (qb, S·128) score
+    block the per-tile min reduces over the LANE dimension and the result
+    must be relayouted (qb, S) → (S, qb) — measured at ~2× the whole
+    kernel's cost (scripts/kernel_micro.py: bf16 56→89 TFLOPS, f32 22→27
+    by switching).  Transposed, the min is a cheap vertical reduce and the
+    output orientation falls out for free.  bsq_ref arrives as a flat
+    (S·128, 1) column (BlockScanState.bsq_col): reshaping a (S, 128) block
+    to (S·128, 1) in-kernel is a lane→sublane relayout Mosaic rejects."""
     dot = jax.lax.dot_general(
-        q_ref[...], chunk_ref[...],
+        chunk_ref[...], q_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         precision=precision,
         preferred_element_type=jnp.float32,
-    )  # (qb, S*128)
-    qb = dot.shape[0]
-    sq = bsq_ref[...].reshape(1, S_TILES * 128)
+    )  # (S*128, qb)
     if metric == "inner_product":
-        scores = sq - dot
+        scores = bsq_ref[...] - dot
     else:
-        scores = sq - 2.0 * dot
-    out_ref[...] = scores.reshape(qb, S_TILES, 128).min(axis=-1).T[None]
+        scores = bsq_ref[...] - 2.0 * dot
+    mins = [
+        scores[t * 128 : (t + 1) * 128, :].min(axis=0, keepdims=True)
+        for t in range(S_TILES)
+    ]
+    out_ref[...] = jnp.concatenate(mins, axis=0)[None]
 
 
 def _dedup_topk_dev(ids: jax.Array, neg: jax.Array, k: int):
@@ -197,6 +208,7 @@ def _scan_all(
     smem_budget = 1 << 18
     rows_per_call = max(1, min(n_blocks, smem_budget // max(U * 4, 1)))
     q_rows = q_r1.reshape(n_blocks * qb, d)
+    bsq_col = bsq.reshape(-1, 1)  # flat column for the kernel (see its docstring)
     parts = []
     for s in range(0, n_blocks, rows_per_call):
         e = min(s + rows_per_call, n_blocks)
@@ -212,7 +224,7 @@ def _scan_all(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (S_TILES, 128), lambda i, u, sref: (sref[i, u], 0),
+                    (S_TILES * 128, 1), lambda i, u, sref: (sref[i, u], 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -226,7 +238,7 @@ def _scan_all(
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(((e - s), U * S_TILES, qb), jnp.float32),
                 interpret=interpret,
-            )(supers[s:e], q_rows, corpus_flat, bsq)
+            )(supers[s:e], q_rows, corpus_flat, bsq_col)
         )
     gmin = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 

@@ -13,10 +13,13 @@ Numbers guide whether a bf16 round-2 + row-granular f32 round-3 is worth it.
 
 Usage: python scripts/blocked_phase_profile.py [n] [n_bkt] [batch] [block_q]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import lira_tpu
 
@@ -54,7 +57,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
-    block_q = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    block_qs = [int(v) for v in sys.argv[4].split(",")] if len(sys.argv) > 4 else [1024]
     d, k = 128, 10
 
     rng = np.random.default_rng(43)
@@ -76,7 +79,7 @@ def main():
     params = init_params(jax.random.PRNGKey(0), n_bkt, d)
     print("index ready", flush=True)
 
-    for dtype in ("float32", "bfloat16"):
+    for dtype, block_q in [(dt, bq) for dt in ("float32", "bfloat16") for bq in block_qs]:
         eng = QueryEngine(
             x_d, layout, km.centroids, scaler, params, probe_cap=128,
             block_q=block_q, scan_impl="blocked", scan_dtype=dtype,
@@ -124,7 +127,7 @@ def main():
             ndis = float(np.asarray(ndis_d[:batch]).mean())
             u_tiles = supers.shape[1]
             print(
-                f"[{dtype} nprobe≈{target_nprobe} ndis={ndis:.0f} U={u_tiles}] "
+                f"[{dtype} qb={qb} nprobe≈{target_nprobe} ndis={ndis:.0f} U={u_tiles}] "
                 f"probe {1e3 * t_probe:.0f}ms unions {1e3 * t_unions:.0f}ms "
                 f"screen {1e3 * t_screen:.0f}ms rescore {1e3 * (t_full - t_screen):.0f}ms "
                 f"full {1e3 * t_full:.0f}ms -> {batch / t_full:.0f} scan-QPS",
