@@ -428,7 +428,9 @@ def blocked_search(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if margin is None:
-        margin = 16 if state.scan_dtype == jnp.bfloat16 else 8
+        # bf16 margin 8 = 2x the smallest zero-miss margin measured at 1M x 128
+        # (docs/bf16_screen.md: knn_fused misses vanish at 4, serving at 0)
+        margin = 8
     precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
     B, d = np.asarray(queries).shape
     qb = max(8, min(block_q, _pow2ceil(B)))
