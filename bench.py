@@ -91,34 +91,50 @@ def serving_bench():
     params = init_params(jax.random.PRNGKey(0), n_bkt, d)
     log(f"layout + scaler ready ({time.perf_counter() - t0:.1f}s)")
 
-    t0 = time.perf_counter()
-    eng = QueryEngine(x_d, layout, centers, scaler, params, probe_cap=128,
-                      scan_impl="blocked", block_q=1024)
-    outputs = eng.probe(x_q[:512])
-    thr = float(np.quantile(outputs, 1.0 - 8 / n_bkt))  # ~8 probes/query
-    eng.search(x_q, thr, k)  # warmup/compile at the measured shape
-    log(f"engine + warmup ({time.perf_counter() - t0:.1f}s)")
+    def measure(scan_dtype):
+        """(qps, result, thr) for one engine mode, oracle-asserted."""
+        t0 = time.perf_counter()
+        eng = QueryEngine(x_d, layout, centers, scaler, params, probe_cap=128,
+                          scan_impl="blocked", block_q=1024,
+                          scan_dtype=scan_dtype)
+        outputs = eng.probe(x_q[:512])
+        thr = float(np.quantile(outputs, 1.0 - 8 / n_bkt))  # ~8 probes/query
+        eng.search(x_q, thr, k)  # warmup/compile at the measured shape
+        log(f"engine[{scan_dtype}] + warmup ({time.perf_counter() - t0:.1f}s)")
 
-    t0 = time.perf_counter()
-    r = eng.search(x_q, thr, k)
-    elapsed = time.perf_counter() - t0
-    qps = batch / elapsed
-    ndis_pct = 100 * r.ndis.mean() / n
-    log(f"serve: nprobe≈{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f} "
-        f"({ndis_pct:.2f}% corpus): {qps:.0f} QPS ({1e6 * elapsed / batch:.0f} us/q)")
+        t0 = time.perf_counter()
+        r = eng.search(x_q, thr, k)
+        elapsed = time.perf_counter() - t0
+        qps = batch / elapsed
+        ndis_pct = 100 * r.ndis.mean() / n
+        log(f"serve[{scan_dtype}]: nprobe≈{r.nprobe.mean():.1f} "
+            f"ndis={r.ndis.mean():.0f} ({ndis_pct:.2f}% corpus): "
+            f"{qps:.0f} QPS ({1e6 * elapsed / batch:.0f} us/q)")
 
-    # correctness: sampled queries vs a numpy oracle over the probed buckets
-    out_s = eng.probe(x_q[:32])
-    probed = eng.select_buckets(out_s, thr)
-    for i in np.random.default_rng(0).integers(0, 32, size=6):
-        members = np.unique(np.concatenate(
-            [layout.bucket_members(b) for b in np.nonzero(probed[i])[0]]
-        ))
-        dd = ((x_d[members] - x_q[i]) ** 2).sum(axis=1)
-        expect = set(members[np.argsort(dd, kind="stable")][: min(k, len(members))])
-        got = set(int(v) for v in r.ids[i] if v >= 0)
-        assert got == expect, f"query {i}: engine != oracle"
-    log("oracle check: probed-scan neighbor sets exact on 6 sampled queries")
+        # correctness: sampled queries vs a numpy oracle over the probed
+        # buckets — exact neighbor-set match required (the bf16 mode's
+        # screen must not have missed a single tile)
+        out_s = eng.probe(x_q[:32])
+        probed = eng.select_buckets(out_s, thr)
+        for i in np.random.default_rng(0).integers(0, 32, size=6):
+            members = np.unique(np.concatenate(
+                [layout.bucket_members(b) for b in np.nonzero(probed[i])[0]]
+            ))
+            dd = ((x_d[members] - x_q[i]) ** 2).sum(axis=1)
+            expect = set(members[np.argsort(dd, kind="stable")][: min(k, len(members))])
+            got = set(int(v) for v in r.ids[i] if v >= 0)
+            assert got == expect, f"query {i}: engine != oracle"
+        log(f"oracle check[{scan_dtype}]: neighbor sets exact on 6 sampled queries")
+        return qps
+
+    # headline: bf16 screen + exact f32 on-device re-rank (zero measured
+    # misses at this margin, docs/bf16_screen.md), oracle-asserted above;
+    # fall back to the all-f32 engine if the oracle ever trips
+    try:
+        qps = measure("bfloat16")
+    except AssertionError as exc:
+        log(f"bf16 oracle failed ({exc}); falling back to f32 engine")
+        qps = measure("float32")
 
     baseline = ref_cpu_qps()
     print(json.dumps({

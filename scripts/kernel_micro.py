@@ -58,9 +58,10 @@ def timed(fn, *args, reps=5, qpos=None):
     return elapsed / reps
 
 
-def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32):
+def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32, prec=None):
     """Returns (jitted fn, args, flops) for one kernel variant."""
-    prec = "highest" if dtype == jnp.float32 else "default"
+    if prec is None:
+        prec = "highest" if dtype == jnp.float32 else "default"
     rng = np.random.default_rng(0)
     n_super = U  # one union's worth of supertiles; every block reads them all
     q = jnp.asarray(rng.standard_normal((n_blocks * qb, d)), dtype)
@@ -122,6 +123,23 @@ def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32):
         out_spec = pl.BlockSpec((1, S, qb), lambda i, u, sref: (i, u, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n_blocks, U * S, qb), jnp.float32)
+    elif name == "treemin":
+        # tmin but the sublane min is an explicit pairwise-minimum tree:
+        # scores (S*128, qb) -> fold halves 7 times -> (S, qb) via strided rows
+        def kern(sref, q_ref, c_ref, b_ref, o_ref):
+            dot = jax.lax.dot_general(
+                c_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+            scores = b_ref[...] - 2 * dot  # (S*128, qb)
+            m = scores.reshape(S, 128, qb)
+            w = 128
+            while w > 1:
+                w //= 2
+                m = jnp.minimum(m[:, :w, :], m[:, w:2 * w, :])
+            o_ref[...] = m[:, 0, :][None]
+        out_spec = pl.BlockSpec((1, S, qb), lambda i, u, sref: (i, u, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks, U * S, qb), jnp.float32)
     elif name == "nomin":
         def kern(sref, q_ref, c_ref, b_ref, o_ref):
             dot = jax.lax.dot_general(
@@ -144,7 +162,7 @@ def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32):
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec((S * 128, 1), lambda i, u, sref: (sref[i, u], 0),
                           memory_space=pltpu.VMEM)
-             if name == "tmin" else
+             if name in ("tmin", "treemin") else
              pl.BlockSpec((S, 128), lambda i, u, sref: (sref[i, u], 0),
                           memory_space=pltpu.VMEM)),
         ],
@@ -152,7 +170,7 @@ def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32):
     )
     call = pl.pallas_call(kern, grid_spec=grid_spec, out_shape=out_shape)
     fn = jax.jit(lambda s, q, c, b: call(s, q, c, b))
-    bsq_arg = jnp.asarray(np.asarray(bsq).reshape(-1, 1)) if name == "tmin" else bsq
+    bsq_arg = jnp.asarray(np.asarray(bsq).reshape(-1, 1)) if name in ("tmin", "treemin") else bsq
     return fn, (supers, q.reshape(n_blocks * qb, d), corpus, bsq_arg), flops
 
 
@@ -162,23 +180,24 @@ def main():
     n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     for dtype, dname in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        for name, S, qb_v in (
-            ("tmin", 8, qb), ("nomin", 8, qb), ("base", 8, qb),
-            ("tmin", 8, qb), ("nomin", 8, qb), ("base", 8, qb),  # variance check
+        for name, S, qb_v, prec in (
+            ("tmin", 8, qb, None), ("tmin", 8, qb, "high"),
+            ("tmin", 8, qb, "default"), ("nomin", 8, qb, "high"),
+            ("tmin", 8, qb, "high"), ("tmin", 8, qb, None),  # variance check
         ):
             u_eff = U * 8 // S  # same total rows regardless of S
             blocks_v = n_blocks * qb // qb_v  # same total queries
             try:
                 fn, args, flops = make_variant(
-                    name, qb_v, u_eff, blocks_v, S, dtype=dtype)
+                    name, qb_v, u_eff, blocks_v, S, dtype=dtype, prec=prec)
                 qpos = None if name == "xla" else 1
                 t = timed(fn, *args, qpos=0 if name == "xla" else 1)
                 steps = blocks_v * u_eff
-                print(f"[{dname} {name} S={S} qb={qb_v}] {1e3 * t:.1f}ms "
+                print(f"[{dname} {name} S={S} qb={qb_v} prec={prec}] {1e3 * t:.1f}ms "
                       f"{flops / t / 1e12:.1f} TFLOPS "
                       f"{1e6 * t / steps:.2f} us/step", flush=True)
             except Exception as exc:
-                print(f"[{dname} {name} S={S} qb={qb_v}] FAILED {type(exc).__name__}: "
+                print(f"[{dname} {name} S={S} qb={qb_v} prec={prec}] FAILED {type(exc).__name__}: "
                       f"{str(exc)[:200]}", flush=True)
 
 
