@@ -92,7 +92,7 @@ def serving_bench():
     log(f"layout + scaler ready ({time.perf_counter() - t0:.1f}s)")
 
     def measure(scan_dtype):
-        """(qps, result, thr) for one engine mode, oracle-asserted."""
+        """Measured QPS for one engine mode, oracle-asserted in-run."""
         t0 = time.perf_counter()
         eng = QueryEngine(x_d, layout, centers, scaler, params, probe_cap=128,
                           scan_impl="blocked", block_q=1024,

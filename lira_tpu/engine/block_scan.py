@@ -429,7 +429,9 @@ def blocked_search(
         interpret = jax.default_backend() != "tpu"
     if margin is None:
         # bf16 margin 8 = 2x the smallest zero-miss margin measured at 1M x 128
-        # (docs/bf16_screen.md: knn_fused misses vanish at 4, serving at 0)
+        # (docs/bf16_screen.md: knn_fused misses vanish at 4, serving at 0).
+        # bf16 group-min rounding is data-dependent: re-validate on new
+        # distributions (scripts/bf16_margin_sweep.py) or raise `margin`.
         margin = 8
     precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
     B, d = np.asarray(queries).shape

@@ -96,14 +96,16 @@ def train_epoch(
     n = len(dist)
     params, opt_state = state.params, state.opt_state
     loss_sum, n_batches = 0.0, 0
-    if isinstance(dist, jax.Array) and not isinstance(targets, jax.Array):
+    if isinstance(dist, jax.Array):
         # dist already lives in HBM (pipelines stage features on device) but
         # numpy targets/vec would re-upload EVERY superbatch of EVERY epoch
         # (~1 GB/epoch at 100k rows x 2048 buckets through a tunneled rig);
-        # promote them once — they are no bigger than the feature matrix
-        targets = jnp.asarray(targets, jnp.float32)
-        vec = jnp.asarray(vec, jnp.float32)
-    device_resident = isinstance(dist, jax.Array) and isinstance(targets, jax.Array)
+        # promote each independently, once — no bigger than the feature matrix
+        if not isinstance(targets, jax.Array):
+            targets = jnp.asarray(targets, jnp.float32)
+        if not isinstance(vec, jax.Array):
+            vec = jnp.asarray(vec, jnp.float32)
+    device_resident = isinstance(dist, jax.Array)
     for s, e, padded in _superbatches(n, batch_size, super_rows):
         if device_resident:
             # features already in HBM (see pipelines): slice — and pad the

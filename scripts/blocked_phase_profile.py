@@ -91,7 +91,7 @@ def main():
         q_pad = np.zeros((B_pad, d), np.float32)
         q_pad[:batch] = x_q
         q_dev = jnp.asarray(q_pad)
-        margin = 16 if dtype == "bfloat16" else 8
+        margin = 8  # match blocked_search's shipped default for all dtypes
         precision = "default" if dtype == "bfloat16" else "highest"
         fetch_k = k * eng.n_mul
         kg = fetch_k + margin
