@@ -167,40 +167,33 @@ def _dedup_topk_dev(ids: jax.Array, neg: jax.Array, k: int):
     return out_ids, out_neg
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "metric", "kg", "fetch_k", "k", "qb", "precision", "interpret", "sub",
-        "screen_only",
-    ),
-)
-def _scan_all(
-    q_pad: jax.Array,  # (B_pad, d) f32
-    probed: jax.Array,  # (B_pad, n_bkt) bool (un-permuted)
-    perm: jax.Array,  # (B_pad,) i32
+def _screen_rescore(
+    q_perm: jax.Array,  # (B_pad, d) f32, already permuted to block order
+    probed_p: jax.Array,  # (n_blocks, qb, n_bkt) bool, permuted
     supers: jax.Array,  # (n_blocks, U) i32 supertile indices (0 at padding)
     tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
     corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
     bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
     corpus_flat_f32: jax.Array,  # f32 corpus for the exact rescore
     tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
+    *,
     metric: str,
     kg: int,
     fetch_k: int,
-    k: int,
     qb: int,
     precision: str,
     interpret: bool,
     sub: int = 64,
     screen_only: bool = False,  # phase profiling: stop after tile selection
 ):
-    """(scores (B_pad, k), ids (B_pad, k)) — one device program, including
-    the dedup of replicated points to k distinct neighbors."""
-    B, d = q_pad.shape
+    """Pallas group-min screen + masked tile selection + exact f32 rescore
+    over every query block.  Returns (neg (B_pad, k_loc), ids (B_pad, k_loc),
+    k_loc) in block (permuted) order — shared by the single-chip `_scan_all`
+    and the per-device body of the sharded engine (which merges shards over
+    ICI before dedup)."""
+    B, d = q_perm.shape
     n_blocks, U = supers.shape
-    q_perm = q_pad[perm]
     q_r1 = q_perm.astype(corpus_flat.dtype)
-    probed_p = probed[perm].reshape(n_blocks, qb, -1)
 
     # the scalar-prefetch operand lives in SMEM (1 MiB): split the pallas
     # call into groups of block rows so each call's supers slice fits with
@@ -296,8 +289,47 @@ def _scan_all(
         return neg.reshape(qb_, k_loc), oid.reshape(qb_, k_loc)
 
     neg, ids = jax.lax.map(per_block, (gmin, probed_p, tb, supers, q_perm.reshape(n_blocks, qb, d)))
-    neg = neg.reshape(B, k_loc)
-    ids = ids.reshape(B, k_loc)
+    return neg.reshape(B, k_loc), ids.reshape(B, k_loc), k_loc
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "kg", "fetch_k", "k", "qb", "precision", "interpret", "sub",
+        "screen_only",
+    ),
+)
+def _scan_all(
+    q_pad: jax.Array,  # (B_pad, d) f32
+    probed: jax.Array,  # (B_pad, n_bkt) bool (un-permuted)
+    perm: jax.Array,  # (B_pad,) i32
+    supers: jax.Array,  # (n_blocks, U) i32 supertile indices (0 at padding)
+    tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
+    corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
+    bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
+    corpus_flat_f32: jax.Array,  # f32 corpus for the exact rescore
+    tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
+    metric: str,
+    kg: int,
+    fetch_k: int,
+    k: int,
+    qb: int,
+    precision: str,
+    interpret: bool,
+    sub: int = 64,
+    screen_only: bool = False,  # phase profiling: stop after tile selection
+):
+    """(scores (B_pad, k), ids (B_pad, k)) — one device program, including
+    the dedup of replicated points to k distinct neighbors."""
+    B, d = q_pad.shape
+    n_blocks, U = supers.shape
+    q_perm = q_pad[perm]
+    probed_p = probed[perm].reshape(n_blocks, qb, -1)
+    neg, ids, k_loc = _screen_rescore(
+        q_perm, probed_p, supers, tb, corpus_flat, bsq, corpus_flat_f32, tiles_ids,
+        metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
+        interpret=interpret, sub=sub, screen_only=screen_only,
+    )
     if k_loc < k:  # tiny layouts: fewer candidates than k
         pad = k - k_loc
         neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)

@@ -101,6 +101,8 @@ def synthetic_dataset(
     center_scale: float = 4.0,
     noise_scale: float = 1.0,
     query_noise: float = 0.5,
+    intrinsic_dim: int | None = None,
+    ambient_noise: float = 0.0,
 ) -> DatasetBundle:
     """Generate a clustered dataset (Gaussian mixture) with exact ground truth.
 
@@ -108,16 +110,43 @@ def synthetic_dataset(
     with realistic frequency — this exercises the redundancy machinery.
     Raise `query_noise` (relative to `noise_scale`) or lower `center_scale`
     to make queries straddle partitions like real embedding workloads.
+
+    Hard regime (`intrinsic_dim`): real ANN workloads (SIFT/GIST, reference
+    search.sh:17-22) are hard because the data lives on a low-dimensional
+    manifold — a query's kNN sit at distances comparable to the K-Means cell
+    radius, so they straddle many cells and recall 0.95 needs nprobe >> 1.
+    When `intrinsic_dim` is set, the mixture is generated in that latent
+    space and embedded in `dim` via a fixed random orthonormal map (plus
+    optional isotropic `ambient_noise`); with n_clusters << n_bkt and
+    noise_scale ≳ center_scale this reproduces the reference's fan-out
+    regime instead of the trivially-separable one.
     """
     rng = np.random.default_rng(seed)
-    centers = rng.normal(scale=center_scale, size=(n_clusters, dim)).astype(np.float32)
+    d_gen = dim if intrinsic_dim is None else int(intrinsic_dim)
+    centers = rng.normal(scale=center_scale, size=(n_clusters, d_gen)).astype(np.float32)
     assign = rng.integers(0, n_clusters, size=n_base)
-    base = centers[assign] + rng.normal(scale=noise_scale, size=(n_base, dim)).astype(np.float32)
-    base = base.astype(np.float32)
+    base = centers[assign] + rng.normal(scale=noise_scale, size=(n_base, d_gen)).astype(
+        np.float32
+    )
 
     q_src = rng.integers(0, n_base, size=n_query)
-    query = base[q_src] + rng.normal(scale=query_noise, size=(n_query, dim)).astype(np.float32)
-    query = query.astype(np.float32)
+    query = base[q_src] + rng.normal(scale=query_noise, size=(n_query, d_gen)).astype(
+        np.float32
+    )
+
+    if intrinsic_dim is not None and d_gen != dim:
+        # fixed orthonormal embedding (QR of a seeded Gaussian): preserves all
+        # pairwise L2 distances, so ground truth computed post-embedding equals
+        # latent-space ground truth up to ambient noise
+        proj, _ = np.linalg.qr(rng.normal(size=(dim, d_gen)))
+        proj = proj.astype(np.float32)
+        base = base @ proj.T
+        query = query @ proj.T
+        if ambient_noise > 0.0:
+            base += rng.normal(scale=ambient_noise, size=(n_base, dim)).astype(np.float32)
+            query += rng.normal(scale=ambient_noise, size=(n_query, dim)).astype(np.float32)
+    base = np.ascontiguousarray(base, dtype=np.float32)
+    query = np.ascontiguousarray(query, dtype=np.float32)
 
     gt = None
     if compute_gt:

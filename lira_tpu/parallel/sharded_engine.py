@@ -29,7 +29,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..labels.scaler import StandardScaler
-from ..engine.block_scan import _dedup_topk_dev, _probe_prepare
+from ..engine.block_scan import (
+    S_TILES,
+    _dedup_topk_dev,
+    _prepare_from_mask,
+    _probe_prepare,
+    _screen_rescore,
+)
 from ..engine.serve import SearchResult, _probe, _probe_topm
 from ..ops.distance import row_sqnorms
 from ..partition.assign import BucketLayout
@@ -49,13 +55,75 @@ def balanced_bucket_split(padded_sizes: np.ndarray, n_dev: int) -> list[np.ndarr
     return [np.array(sorted(g), dtype=np.int64) for g in groups]
 
 
+def _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm):
+    """Pad per-device candidates to fetch_k, all_gather every shard's top-k
+    over the mesh axis, re-rank, dedup to k distinct neighbors, un-permute."""
+    B = neg.shape[0]
+    if k_loc < fetch_k:  # tiny shard: pad so the cross-device merge is uniform
+        pad = fetch_k - k_loc
+        neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)
+        out_ids = jnp.concatenate([out_ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
+
+    # ICI merge: gather every shard's top-fetch_k and re-rank, once per batch
+    all_neg = jax.lax.all_gather(neg, axis)  # (n_dev, B, fetch_k)
+    all_ids = jax.lax.all_gather(out_ids, axis)
+    n_dev = all_neg.shape[0]
+    flat_neg = jnp.moveaxis(all_neg, 0, 1).reshape(B, n_dev * fetch_k)
+    flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, n_dev * fetch_k)
+    best_neg, msel = jax.lax.top_k(flat_neg, fetch_k)
+    best_ids = jnp.take_along_axis(flat_ids, msel, axis=1)
+
+    # dedup replicated points to k distinct neighbors, un-permute to caller order
+    ded_ids, ded_neg = _dedup_topk_dev(best_ids, best_neg, k)
+    out_scores = jnp.zeros_like(ded_neg).at[perm].set(-ded_neg)
+    final_ids = jnp.full_like(ded_ids, -1).at[perm].set(ded_ids)
+    return out_scores, final_ids
+
+
+def _local_blocked_scan_pallas(
+    q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids,
+    *, fetch_k: int, kg: int, k: int, metric: str, axis: str,
+    qb: int, precision: str, interpret: bool, sub: int,
+):
+    """Per-device blocked union scan using the single-chip Pallas group-min
+    screen (block_scan._screen_rescore: scalar-prefetched supertile DMA +
+    transposed MXU dot + exact f32 rescore), one ICI merge, on-device dedup.
+
+    q/probed/perm: (B_pad, d) f32 / (B_pad, n_bkt) bool / (B_pad,) i32,
+    replicated;
+    supers: (1, n_blocks, U) LOCAL supertile ids of this device's per-block
+    unions (0 pad, masked via tb);
+    tb: (1, n_blocks, U*S) bucket per local union tile (-1 pad);
+    corpus/corpus_f32: (1, t_pad, 128, d) local tile tables (round-1 dtype /
+    f32), t_pad a multiple of S; bsq/ids: (1, t_pad, 128).
+    Returns (scores (B_pad, k), ids (B_pad, k)) in caller order."""
+    supers, tb = supers[0], tb[0]
+    B, d = q.shape
+    corpus = corpus[0].reshape(-1, d)  # (t_pad*128, d) flat, supertile-aligned
+    corpus_f32 = corpus_f32[0].reshape(-1, d)
+    bsq, ids = bsq[0], ids[0]  # (t_pad, 128) == (n_super*S, 128)
+    n_blocks = supers.shape[0]
+    q_perm = q[perm]
+    probed_p = probed[perm].reshape(n_blocks, qb, -1)
+    neg, oid, k_loc = _screen_rescore(
+        q_perm, probed_p, supers, tb, corpus, bsq, corpus_f32, ids,
+        metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
+        interpret=interpret, sub=sub,
+    )
+    return _ici_merge(neg, oid, k_loc, fetch_k, k, axis, perm)
+
+
 def _local_blocked_scan_all(
-    q, probed, perm, sel, tb, corpus, bsq, ids,
+    q, probed, perm, sel, tb, corpus_r1, corpus, bsq, ids,
     *, fetch_k: int, kg: int, k: int, metric: str, axis: str, tile: int,
-    chunk: int, sub: int, qb: int,
+    chunk: int, sub: int, qb: int, precision: str,
 ):
     """Per-device blocked union scan over EVERY query block, one ICI merge,
     on-device dedup — runs inside shard_map as one program per batch.
+
+    The XLA-gather fallback for layouts whose tile != 128 (the Pallas path
+    above needs 128-lane tiles); same two-round structure: round-1 group-min
+    screen on `corpus_r1` (f32 or bf16) + exact f32 rescore on `corpus`.
 
     q/probed/perm: (B_pad, d) f32 / (B_pad, n_bkt) bool / (B_pad,) i32,
     replicated, caller order (perm sorts queries by top-1 bucket so blocks
@@ -63,32 +131,33 @@ def _local_blocked_scan_all(
     sel: (1, n_blocks, U) local tile ids of this device's per-block
     probed-bucket unions (-1 pad);
     tb:  (1, n_blocks, U) bucket id per union tile (-1 pad);
-    corpus/bsq/ids: (1, t_pad, tile, d) / (1, t_pad, tile) local tables.
+    corpus_r1/corpus/bsq/ids: (1, t_pad, tile, d) ×2 / (1, t_pad, tile).
     Returns (scores (B_pad, k), ids (B_pad, k)) in caller order.
     """
     sel, tb = sel[0], tb[0]
-    corpus, bsq, ids = corpus[0], bsq[0], ids[0]
+    corpus_r1, corpus, bsq, ids = corpus_r1[0], corpus[0], bsq[0], ids[0]
     B, d = q.shape
     n_blocks, U = sel.shape
     q_perm = q[perm].reshape(n_blocks, qb, d)
+    q_r1 = q_perm.astype(corpus_r1.dtype)
     probed_p = probed[perm].reshape(n_blocks, qb, -1)
     n_chunks = U // chunk
     kg_eff = min(kg, U)
     k_loc = min(fetch_k, kg_eff * tile)
 
     def per_block(args):
-        qs, pb, sl, tbb = args  # (qb, d), (qb, n_bkt), (U,), (U,)
+        qs, qs1, pb, sl, tbb = args  # (qb, d), (qb, d), (qb, n_bkt), (U,), (U,)
 
         # round 1: streamed group-min over the block's local union
         # (never materializes (qb, U·tile))
         def gbody(_, i):
             s = jax.lax.dynamic_slice_in_dim(sl, i * chunk, chunk)
             safe = jnp.maximum(s, 0)
-            vec = corpus[safe].reshape(chunk * tile, d)
+            vec = corpus_r1[safe].reshape(chunk * tile, d)
             sq = bsq[safe].reshape(1, chunk * tile)
             dot = jax.lax.dot_general(
-                qs, vec, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision="highest", preferred_element_type=jnp.float32,
+                qs1, vec, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
             )
             scores = sq - dot if metric == "inner_product" else sq - 2.0 * dot
             gmin = scores.reshape(qb, chunk, tile).min(axis=-1)
@@ -137,28 +206,10 @@ def _local_blocked_scan_all(
         )
         return neg.reshape(qb, k_loc), oid.reshape(qb, k_loc)
 
-    neg, out_ids = jax.lax.map(per_block, (q_perm, probed_p, sel, tb))
+    neg, out_ids = jax.lax.map(per_block, (q_perm, q_r1, probed_p, sel, tb))
     neg = neg.reshape(B, k_loc)
     out_ids = out_ids.reshape(B, k_loc)
-    if k_loc < fetch_k:  # tiny shard: pad so the cross-device merge is uniform
-        pad = fetch_k - k_loc
-        neg = jnp.concatenate([neg, jnp.full((B, pad), -jnp.inf, jnp.float32)], axis=1)
-        out_ids = jnp.concatenate([out_ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
-
-    # ICI merge: gather every shard's top-fetch_k and re-rank, once per batch
-    all_neg = jax.lax.all_gather(neg, axis)  # (n_dev, B, fetch_k)
-    all_ids = jax.lax.all_gather(out_ids, axis)
-    n_dev = all_neg.shape[0]
-    flat_neg = jnp.moveaxis(all_neg, 0, 1).reshape(B, n_dev * fetch_k)
-    flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, n_dev * fetch_k)
-    best_neg, msel = jax.lax.top_k(flat_neg, fetch_k)
-    best_ids = jnp.take_along_axis(flat_ids, msel, axis=1)
-
-    # dedup replicated points to k distinct neighbors, un-permute to caller order
-    ded_ids, ded_neg = _dedup_topk_dev(best_ids, best_neg, k)
-    out_scores = jnp.zeros_like(ded_neg).at[perm].set(-ded_neg)
-    final_ids = jnp.full_like(ded_ids, -1).at[perm].set(ded_ids)
-    return out_scores, final_ids
+    return _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm)
 
 
 def _pow2ceil(x: int) -> int:
@@ -182,7 +233,17 @@ class ShardedQueryEngine:
         probe_cap: int | None = None,
         block_q: int = 1024,
         margin: int = 8,
+        scan_dtype: str = "float32",
+        prober=None,
+        local_impl: str = "auto",
+        interpret: bool | None = None,
     ):
+        """`scan_dtype='bfloat16'` screens round 1 in bf16 (margin absorbs the
+        rounding, round 2 rescans in exact f32 — single-chip block_scan
+        semantics); `prober(q)->(B, n_bkt)` replaces the probing MLP (e.g. the
+        IVF centroid-rank baseline); `local_impl` picks the per-device scan:
+        'pallas' (the single-chip scalar-prefetch supertile kernel, requires
+        tile=128), 'gather' (XLA dynamic-slice form, any tile), or 'auto'."""
         self.mesh = mesh
         self.axis = axis
         self.metric = metric
@@ -192,6 +253,14 @@ class ShardedQueryEngine:
         self.margin = margin
         self.layout = layout
         self.tile = layout.tile
+        self.scan_dtype = jnp.bfloat16 if str(scan_dtype) in ("bfloat16", "bf16") else jnp.float32
+        self.prober = prober
+        if local_impl == "auto":
+            local_impl = "pallas" if layout.tile == 128 else "gather"
+        if local_impl == "pallas" and layout.tile != 128:
+            raise ValueError("local_impl='pallas' needs a 128-row tile layout")
+        self.local_impl = local_impl
+        self.interpret = (jax.default_backend() != "tpu") if interpret is None else interpret
         n_dev = mesh.devices.size
         x_d = np.asarray(x_d, dtype=np.float32)
         dim = x_d.shape[1]
@@ -210,6 +279,9 @@ class ShardedQueryEngine:
         total_tiles = int(gstart[-1])
         bounds = np.round(np.linspace(0, total_tiles, n_dev + 1)).astype(np.int64)
         t_pad = max(int(np.diff(bounds).max()), 1)
+        # supertile-align the per-device table so the Pallas path can stream
+        # S_TILES-tile supertiles exactly like the single-chip engine
+        t_pad = -(-t_pad // S_TILES) * S_TILES
         self.t_pad = t_pad
 
         # per (device, bucket): local start, within-bucket tile offset, count
@@ -268,6 +340,14 @@ class ShardedQueryEngine:
         self.corpus = jax.make_array_from_single_device_arrays(full, shard, vec_shards)
         self.corpus_ids = jax.make_array_from_single_device_arrays(full[:3], shard, id_shards)
         self.corpus_sq = jax.make_array_from_single_device_arrays(full[:3], shard, sq_shards)
+        if self.scan_dtype == jnp.bfloat16:
+            # round-1 bf16 view cast on device (no second corpus upload);
+            # HBM cost 1.5× the corpus per shard, as in the single-chip engine
+            self.corpus_r1 = jax.jit(
+                lambda x: x.astype(jnp.bfloat16), out_shardings=shard
+            )(self.corpus)
+        else:
+            self.corpus_r1 = self.corpus
 
         self.centroids = jnp.asarray(centroids, dtype=jnp.float32)
         self.scaler_mean = jnp.asarray(scaler.mean_)
@@ -315,17 +395,27 @@ class ShardedQueryEngine:
     # ---------- scan ----------
 
     def _scan_fn(self, fetch_k: int, kg: int, k: int, U: int, chunk: int, qb: int):
-        key = (fetch_k, kg, k, U, chunk, qb)
+        key = (self.local_impl, fetch_k, kg, k, U, chunk, qb)
         if key not in self._scan_cache:
-            fn = jax.shard_map(
-                partial(
+            if self.local_impl == "pallas":
+                precision = "default" if self.scan_dtype == jnp.bfloat16 else "highest"
+                body = partial(
+                    _local_blocked_scan_pallas, fetch_k=fetch_k, kg=kg, k=k,
+                    metric=self.metric, axis=self.axis, qb=qb,
+                    precision=precision, interpret=self.interpret, sub=64,
+                )
+            else:
+                precision = "default" if self.scan_dtype == jnp.bfloat16 else "highest"
+                body = partial(
                     _local_blocked_scan_all, fetch_k=fetch_k, kg=kg, k=k,
                     metric=self.metric, axis=self.axis, tile=self.tile,
-                    chunk=chunk, sub=64, qb=qb,
-                ),
+                    chunk=chunk, sub=64, qb=qb, precision=precision,
+                )
+            fn = jax.shard_map(
+                body,
                 mesh=self.mesh,
                 in_specs=(P(), P(), P(), P(self.axis), P(self.axis), P(self.axis),
-                          P(self.axis), P(self.axis)),
+                          P(self.axis), P(self.axis), P(self.axis)),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
@@ -338,34 +428,67 @@ class ShardedQueryEngine:
         union_mask: (n_blocks, n_bkt) bool — per-block probed-bucket unions.
         Returns (sel (n_dev, n_blocks, U) i32, tb same, U, chunk); U is the
         pow2 ceiling of the largest (device, block) union so the compile
-        count stays logarithmic in batch mix."""
+        count stays logarithmic in batch mix.
+
+        Fully vectorized per device (repeat/cumsum — the formulation of
+        engine/block_scan.build_block_unions): host work is O(total union
+        tiles), not O(n_dev·n_blocks) Python iterations."""
         n_dev = self.mesh.devices.size
         n_blocks = union_mask.shape[0]
-        per = {}
-        u_max = 1
-        for d in range(n_dev):
-            owned = self.local_tile_count[d] > 0
-            for i in range(n_blocks):
-                bs = np.nonzero(union_mask[i] & owned)[0]
-                reps = self.local_tile_count[d, bs]
-                total = int(reps.sum())
-                if total == 0:
-                    per[d, i] = np.zeros(0, np.int32)
-                    continue
-                starts = np.repeat(self.local_tile_start[d, bs], reps)
-                cum = np.cumsum(reps) - reps
-                within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
-                per[d, i] = (starts + within).astype(np.int32)
-                u_max = max(u_max, total)
+        # per-(block, device) union tile totals in one matmul
+        counts = union_mask.astype(np.int64) @ self.local_tile_count.T
+        u_max = max(1, int(counts.max()))
         chunk = min(16, _pow2ceil(u_max))
         U = max(chunk, ((u_max + chunk - 1) // chunk) * chunk)
         U = _pow2ceil(U) if U > chunk else U
         sel = np.full((n_dev, n_blocks, U), -1, np.int32)
         tb = np.full((n_dev, n_blocks, U), -1, np.int32)
-        for (d, i), t in per.items():
-            sel[d, i, : len(t)] = t
-            tb[d, i, : len(t)] = self.tile_bucket[d, t]
+        for d in range(n_dev):
+            owned = self.local_tile_count[d] > 0
+            rows, bs = np.nonzero(union_mask & owned[None, :])
+            reps = self.local_tile_count[d, bs]
+            total = int(reps.sum())
+            if total == 0:
+                continue
+            starts = np.repeat(self.local_tile_start[d, bs], reps)
+            cum = np.cumsum(reps) - reps
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
+            tiles = (starts + within).astype(np.int32)
+            tile_rows = np.repeat(rows, reps)
+            row_counts = np.bincount(tile_rows, minlength=n_blocks)
+            row_start = np.cumsum(row_counts) - row_counts
+            col = np.arange(total, dtype=np.int64) - row_start[tile_rows]
+            sel[d, tile_rows, col] = tiles
+            tb[d, tile_rows, col] = self.tile_bucket[d, tiles]
         return sel, tb, U, chunk
+
+    def _super_unions(self, sel: np.ndarray):
+        """Tile-granular union lists → per-(device, block) LOCAL supertile
+        lists + per-tile bucket maps for the Pallas path (single-chip
+        build_block_unions contract, per device).
+
+        Returns (supers (n_dev, n_blocks, U_s) i32 zero-padded,
+        tb (n_dev, n_blocks, U_s*S) i32 −1-padded).  Vectorized via a
+        composite-key unique over all (device, block, supertile) triples."""
+        n_dev, n_blocks, _ = sel.shape
+        n_sup = self.t_pad // S_TILES
+        dmask = sel >= 0
+        d_idx, r_idx, _ = np.nonzero(dmask)
+        comp = (d_idx.astype(np.int64) * n_blocks + r_idx) * n_sup + sel[dmask] // S_TILES
+        ucomp = np.unique(comp)
+        urow = ucomp // n_sup  # d * n_blocks + block
+        usup = (ucomp % n_sup).astype(np.int32)
+        row_counts = np.bincount(urow, minlength=n_dev * n_blocks)
+        U_s = max(1, _pow2ceil(int(row_counts.max()) if len(ucomp) else 1))
+        row_start = np.cumsum(row_counts) - row_counts
+        col = np.arange(len(ucomp), dtype=np.int64) - row_start[urow]
+        supers = np.zeros((n_dev * n_blocks, U_s), np.int32)
+        supers[urow, col] = usup
+        tb = np.full((n_dev * n_blocks, U_s * S_TILES), -1, np.int32)
+        ud = (urow // n_blocks).astype(np.int64)
+        for j in range(S_TILES):
+            tb[urow, col * S_TILES + j] = self.tile_bucket[ud, usup * S_TILES + j]
+        return supers.reshape(n_dev, n_blocks, U_s), tb.reshape(n_dev, n_blocks, U_s * S_TILES)
 
     def search(self, queries: np.ndarray, threshold: float, k: int) -> SearchResult:
         """One probe program → host unions → ONE scan program for the whole
@@ -380,27 +503,55 @@ class ShardedQueryEngine:
         q_pad[:B] = queries
         q_dev = jnp.asarray(q_pad)
 
-        m = min(self.probe_cap or n_bkt, n_bkt)
-        probed, perm, union, nprobe_d, ndis_d = _probe_prepare(
-            self.params, self.centroids, self.scaler_mean, self.scaler_scale,
-            q_dev, jnp.asarray(self.sizes, jnp.int32), jnp.int32(B),
-            jnp.float32(threshold), m, qb,
-        )
-        union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
-        nprobe = np.asarray(nprobe_d[:B])
-        ndis = np.asarray(ndis_d[:B])
+        if self.prober is not None:
+            # pluggable prober (e.g. IVF centroid rank): host outputs →
+            # select with the engine's threshold + argmax-fallback semantics
+            outputs = np.asarray(self.prober(queries))
+            probed_h = self.select_buckets(outputs, threshold)
+            if B_pad > B:
+                probed_h = np.concatenate(
+                    [probed_h, np.zeros((B_pad - B, n_bkt), bool)], axis=0
+                )
+            top1 = np.concatenate(
+                [outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)]
+            )
+            probed = jnp.asarray(probed_h)
+            perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
+            nprobe = probed_h[:B].sum(axis=1)
+            ndis = probed_h[:B] @ self.sizes.astype(np.int64)
+            union = np.asarray(union)
+        else:
+            m = min(self.probe_cap or n_bkt, n_bkt)
+            probed, perm, union, nprobe_d, ndis_d = _probe_prepare(
+                self.params, self.centroids, self.scaler_mean, self.scaler_scale,
+                q_dev, jnp.asarray(self.sizes, jnp.int32), jnp.int32(B),
+                jnp.float32(threshold), m, qb,
+            )
+            union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
+            nprobe = np.asarray(nprobe_d[:B])
+            ndis = np.asarray(ndis_d[:B])
 
         sel, tb, U, chunk = self._block_unions(union)
         fetch_k = k * self.n_mul
         kg = fetch_k + self.margin
         shard = NamedSharding(self.mesh, P(self.axis))
-        fn = self._scan_fn(fetch_k, kg, k, U, chunk, qb)
-        sc, ids = fn(
-            q_dev, probed, perm,
-            jax.device_put(jnp.asarray(sel), shard),
-            jax.device_put(jnp.asarray(tb), shard),
-            self.corpus, self.corpus_sq, self.corpus_ids,
-        )
+        if self.local_impl == "pallas":
+            supers, tb_s = self._super_unions(sel)
+            fn = self._scan_fn(fetch_k, kg, k, supers.shape[2], chunk, qb)
+            sc, ids = fn(
+                q_dev, probed, perm,
+                jax.device_put(jnp.asarray(supers), shard),
+                jax.device_put(jnp.asarray(tb_s), shard),
+                self.corpus_r1, self.corpus_sq, self.corpus, self.corpus_ids,
+            )
+        else:
+            fn = self._scan_fn(fetch_k, kg, k, U, chunk, qb)
+            sc, ids = fn(
+                q_dev, probed, perm,
+                jax.device_put(jnp.asarray(sel), shard),
+                jax.device_put(jnp.asarray(tb), shard),
+                self.corpus_r1, self.corpus, self.corpus_sq, self.corpus_ids,
+            )
         ids = np.asarray(ids[:B])
         scores = np.asarray(sc[:B])
         elapsed = time.perf_counter() - t0
