@@ -55,6 +55,11 @@ class Config:
     # large-scale
     subset_fraction: float = 0.01  # training-subset fraction
     redundancy_batch: int = 1_000_000  # full-corpus redundancy batch rows
+    # checkpoint/resume (the reference restarts long pipelines from zero,
+    # SURVEY.md §5; the large-scale pipeline checkpoints every stage under
+    # {pth_log}/{file_name}_ckpt/ and --resume continues mid-phase)
+    checkpoint: bool = True
+    resume: bool = False
 
     # diagnostics (reference keeps these as commented-out call sites;
     # here they are a flag: per-query nprobe study + kNN-tail analysis)

@@ -32,12 +32,20 @@ def _flatten(tree, prefix=""):
 
 
 def save_train_state(state: TrainState, path: str, step: int = 0) -> None:
+    """Atomic (write-tmp + rename): a kill mid-save never corrupts the
+    checkpoint a resume depends on."""
+    import os
+
     flat = {"step": np.array(step)}
     flat.update({f"params/{k}": v for k, v in _flatten(state.params).items()})
     leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
     for i, leaf in enumerate(leaves):
         flat[f"opt/{i}"] = np.asarray(leaf)
-    np.savez(path, **flat)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_train_state(path: str, template: TrainState) -> tuple[TrainState, int]:

@@ -45,6 +45,39 @@ from ..redundancy.assign import _redundancy_rows_jit
 from .smallscale import _epochs_to_csv, get_self_knn
 
 
+class PipelineCheckpoint:
+    """Stage/array checkpoint store for restartable pipelines.
+
+    The reference restarts its long-running large-scale path from zero on
+    any failure (SURVEY.md §5: resilience = caches only).  This store makes
+    `run_largescale` restartable at stage granularity (kmeans, assignment,
+    part-0/1 scans) and batch granularity (redundancy cursor), plus epoch
+    granularity for training via models/checkpoint.py.  All writes are
+    atomic (tmp + rename)."""
+
+    def __init__(self, root: str, fresh: bool = False):
+        self.root = root
+        if fresh and os.path.isdir(root):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def save(self, name: str, **arrays) -> None:
+        tmp = self.path(name + ".tmp.npz")
+        np.savez(tmp, **arrays)
+        os.replace(tmp, self.path(name))
+
+    def load(self, name: str):
+        return np.load(self.path(name))
+
+
 def query_knn_on_subset(
     x_sub: np.ndarray, x_q: np.ndarray, cfg: Config, use_cache: bool = True,
     cache_tag: str = "",
@@ -91,10 +124,14 @@ def full_corpus_redundancy(
     scaler,
     state,
     cfg: Config,
+    ckpt: PipelineCheckpoint | None = None,
 ) -> np.ndarray:
     """Score and re-assign every corpus point in device-sized batches
     (reference: LIRA_largescale.py:320-329 + the offset-aware
-    mul_partition_by_model at :51-72)."""
+    mul_partition_by_model at :51-72).
+
+    With `ckpt`, the batch cursor + completed rows are checkpointed after
+    every batch, so a killed run resumes at the first unfinished batch."""
     n_d = len(x_d)
     out = np.array(data_2_bkt, copy=True)
     cj = jnp.asarray(centroids, jnp.float32)
@@ -106,8 +143,19 @@ def full_corpus_redundancy(
     # budget: 1M rows x 2048 buckets is 16 GB and OOMs a 16 GB chip
     budget_rows = max(1 << 14, (1 << 32) // (max(n_bkt, 1) * 8))
     batch_rows = min(cfg.redundancy_batch, budget_rows)
+    cursor = 0
+    if ckpt is not None and ckpt.has("redundancy.npz"):
+        f = ckpt.load("redundancy.npz")
+        # the saved cursor is only valid at this run's batch boundaries:
+        # a completed batch overwrites slot 0, so re-running a *partially*
+        # restored batch would feed modified native buckets back into the rule
+        if int(f["batch_rows"]) == batch_rows:
+            cursor = int(f["cursor"])
+            out[:cursor] = f["rows"][:cursor]
     for s in range(0, n_d, batch_rows):
         e = min(s + batch_rows, n_d)
+        if e <= cursor:  # batch finished by the run we resumed from
+            continue
         out[s:e] = np.asarray(
             _fused_redundancy_batch(
                 params, cj, mean, scale,
@@ -116,6 +164,11 @@ def full_corpus_redundancy(
                 jnp.float32(cfg.sigma), cfg.n_mul,
             )
         )
+        if ckpt is not None:
+            ckpt.save(
+                "redundancy.npz",
+                cursor=np.int64(e), rows=out, batch_rows=np.int64(batch_rows),
+            )
     return out
 
 
@@ -134,6 +187,16 @@ def run_largescale(
     n_d, dim = x_d.shape
     n_bkt = cfg.n_bkt
 
+    # checkpoint store: fresh unless --resume (stale stages from a different
+    # config would otherwise be silently reused)
+    ckpt = None
+    if cfg.checkpoint and cfg.pth_log and cfg.file_name:
+        ckpt = PipelineCheckpoint(
+            os.path.join(cfg.pth_log, cfg.file_name + "_ckpt"), fresh=not cfg.resume
+        )
+        if cfg.resume:
+            fprint(f">> resume: checkpoint dir {ckpt.root}", fw)
+
     # (1) training subset
     nd_sub = max(1, int(n_d * cfg.subset_fraction))
     rng = np.random.default_rng(cfg.seed)
@@ -149,8 +212,20 @@ def run_largescale(
 
     # (3) subset partitioning + model training
     with stage_timer("build kmeans (subset)", fw):
-        km = kmeans_fit(x_sub, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed)
-        assign_sub = kmeans_assign(x_sub, km.centroids)
+        if ckpt is not None and cfg.resume and ckpt.has("kmeans.npz"):
+            f = ckpt.load("kmeans.npz")
+            from ..partition.kmeans import KMeans
+
+            km = KMeans(centroids=f["centroids"], objective=f["objective"])
+            assign_sub = f["assign_sub"]
+        else:
+            km = kmeans_fit(x_sub, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed)
+            assign_sub = kmeans_assign(x_sub, km.centroids)
+            if ckpt is not None:
+                ckpt.save(
+                    "kmeans.npz", centroids=km.centroids,
+                    objective=km.objective, assign_sub=assign_sub,
+                )
     d2b_sub = np.full((nd_sub, cfg.n_mul), -1, dtype=np.int32)
     d2b_sub[:, 0] = assign_sub
     layout_sub = build_bucket_layout(d2b_sub, n_bkt)
@@ -165,6 +240,12 @@ def run_largescale(
             scaler.save(cfg.pth_log, cfg.file_name)
 
     state = make_train_state(cfg.seed, n_bkt, dim, lr=cfg.lr)
+    start_epoch = 0
+    if ckpt is not None and cfg.resume and ckpt.has("train_state.npz"):
+        from ..models.checkpoint import load_train_state
+
+        state, start_epoch = load_train_state(ckpt.path("train_state.npz"), state)
+        fprint(f">> resume: training restored at epoch {start_epoch}", fw)
     # stage the subset epoch inputs in HBM once — numpy inputs would be
     # re-uploaded every epoch (train_epoch promotes per call, not across)
     if isinstance(dist_sub, jax.Array):
@@ -188,16 +269,25 @@ def run_largescale(
         fprint(ascii_table(headers, [[m[h] for h in headers]]), fw)
         return outputs
 
-    eval_epoch(-1)
-    for epoch in range(cfg.n_epoch):
+    outputs = eval_epoch(start_epoch - 1)
+    for epoch in range(start_epoch, cfg.n_epoch):
         state, loss_train = train_epoch(
             state, dist_sub, x_sub_dev, labels_sub_dev, batch_size=cfg.batch_size
         )
+        if ckpt is not None:
+            from ..models.checkpoint import save_train_state
+
+            save_train_state(state, ckpt.path("train_state.npz"), step=epoch + 1)
         outputs = eval_epoch(epoch)
 
     # (4) full-corpus assignment with the trained quantizer
     with stage_timer("full corpus assignment", fw):
-        assign_full = kmeans_assign(x_d, km.centroids)
+        if ckpt is not None and cfg.resume and ckpt.has("assign_full.npz"):
+            assign_full = ckpt.load("assign_full.npz")["assign"]
+        else:
+            assign_full = kmeans_assign(x_d, km.centroids)
+            if ckpt is not None:
+                ckpt.save("assign_full.npz", assign=assign_full)
     data_2_bkt = np.full((n_d, cfg.n_mul), -1, dtype=np.int32)
     data_2_bkt[:, 0] = assign_full
     layout = build_bucket_layout(data_2_bkt, n_bkt)
@@ -208,24 +298,41 @@ def run_largescale(
     thresholds = np.arange(max(cfg.t_min, 0.1), 1.0, 0.05)
     sweep_parts = []
     with stage_timer("baseline scan + sweep (part 0)", fw):
-        corpus = BucketCorpus.build(x_d, layout)
-        found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
-        del corpus  # free the padded device corpus before part 1 rebuilds it
+        if ckpt is not None and cfg.resume and ckpt.has("part0_found.npz"):
+            found = ckpt.load("part0_found.npz")["found"]
+        else:
+            corpus = BucketCorpus.build(x_d, layout)
+            found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            del corpus  # free the padded device corpus before part 1 rebuilds it
+            if ckpt is not None:
+                ckpt.save("part0_found.npz", found=found)
         hit = gt_hit_tensor(found, knn_query, gt_buckets)
         sweep_parts.append(
             threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
         )
 
-    # (5) full-corpus learning-based redundancy
+    # (5) full-corpus learning-based redundancy (batch-cursor checkpointed)
     with stage_timer("full-corpus redundancy", fw):
-        data_2_bkt = full_corpus_redundancy(x_d, data_2_bkt, km.centroids, scaler, state, cfg)
+        if ckpt is not None and cfg.resume and ckpt.has("d2b_final.npz"):
+            data_2_bkt = ckpt.load("d2b_final.npz")["d2b"]
+        else:
+            data_2_bkt = full_corpus_redundancy(
+                x_d, data_2_bkt, km.centroids, scaler, state, cfg, ckpt=ckpt
+            )
+            if ckpt is not None:
+                ckpt.save("d2b_final.npz", d2b=data_2_bkt)
         layout = build_bucket_layout(data_2_bkt, n_bkt)
         gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
 
     with stage_timer("redundant scan + sweep (part 1)", fw):
-        corpus = BucketCorpus.build(x_d, layout)
-        found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
-        del corpus  # release before the caller builds a serving engine
+        if ckpt is not None and cfg.resume and ckpt.has("part1_found.npz"):
+            found = ckpt.load("part1_found.npz")["found"]
+        else:
+            corpus = BucketCorpus.build(x_d, layout)
+            found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            del corpus  # release before the caller builds a serving engine
+            if ckpt is not None:
+                ckpt.save("part1_found.npz", found=found)
         hit = gt_hit_tensor(found, knn_query, gt_buckets)
         sweep_parts.append(
             threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)

@@ -17,7 +17,11 @@ script produces the measured counterpart on TPU:
     engine.tuning.compare_at_recall → ndis/nprobe ratios (the paper's
     Fig. 7-8 quantities, measured).
 
-Usage: python scripts/lira_vs_ivf.py [n] [n_bkt] [n_q] [n_epoch]
+Usage: python scripts/lira_vs_ivf.py [n] [n_bkt] [n_q] [n_epoch] [regime]
+regime: 'hard' (default) — low-intrinsic-dim manifold corpus calibrated so
+IVF needs nprobe ≈ 10/17/29 for recall 0.90/0.95/0.98 (the fan-out regime
+of the reference's sift/gist configs, scripts/hard_regime_calibrate.py);
+'easy' — the round-2 separable-cluster corpus (nprobe ≈ 1.1 saturation).
 Writes CSVs under ./logs/lira_vs_ivf/.
 """
 
@@ -61,13 +65,19 @@ def main():
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
     n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    regime = sys.argv[5] if len(sys.argv) > 5 else "hard"
     k, dim = 10, 128
 
     t0 = time.time()
+    if regime == "hard":
+        gen = dict(n_clusters=64, center_scale=1.0, noise_scale=1.0,
+                   query_noise=0.35, intrinsic_dim=16, ambient_noise=0.02)
+    else:
+        gen = dict(n_clusters=max(64, n_bkt), center_scale=30.0,
+                   noise_scale=14.0, query_noise=10.0)
     bundle = synthetic_dataset(
-        n_base=n, n_query=n_q, dim=dim, n_clusters=max(64, n_bkt), k_gt=k,
-        seed=43, name="ivfcmp", center_scale=30.0, noise_scale=14.0, query_noise=10.0,
-        compute_gt=False,
+        n_base=n, n_query=n_q, dim=dim, k_gt=k, seed=43, name=f"ivfcmp-{regime}",
+        compute_gt=False, **gen,
     )
     from lira_tpu.ops.knn import exact_knn
 
@@ -75,8 +85,8 @@ def main():
     bundle.groundtruth = gt
     print(f"dataset ready ({time.time() - t0:.1f}s)", flush=True)
 
-    cfg = Config(dataset="ivfcmp", data_path="/tmp/ivfcmp", k=k, n_bkt=n_bkt,
-                 n_epoch=n_epoch, pth_log=None).update()
+    cfg = Config(dataset=f"ivfcmp-{regime}", data_path="/tmp/ivfcmp", k=k,
+                 n_bkt=n_bkt, n_epoch=n_epoch, pth_log=None).update()
     cfg.pth_log = None  # no pipeline CSV side effects
     res = run_smallscale(cfg, bundle=bundle, serve_sweep=False, use_cache=False)
     km, scaler, state = res["kmeans"], res["scaler"], res["state"]
@@ -108,7 +118,7 @@ def main():
     for name, eng in engines.items():
         thr = ivf_thr if name == "ivf" else thresholds
         sweeps[name] = eng.sweep(x_q, gt_ids, k, thr)
-        rows_to_csv(sweeps[name], f"./logs/lira_vs_ivf/{name}_n{n}_bkt{n_bkt}.csv")
+        rows_to_csv(sweeps[name], f"./logs/lira_vs_ivf/{regime}_{name}_n{n}_bkt{n_bkt}.csv")
         for r in sweeps[name]:
             print(
                 f"[{name}] thr={r['threshold']:.3f} recall={r['avg_recall']:.4f} "
