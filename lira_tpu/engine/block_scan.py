@@ -511,11 +511,19 @@ def blocked_search(
     )
     mark("host_unions")
     kg = fetch_k + margin
+    # round-2 rescore gathers (sub, kg, 128, d) f32 per query sub-batch; at
+    # the reference's large-scale default k=100 (fetch_k 200, kg 208) the
+    # default sub=64 would stage ~870 MB at d=128 — bound it to ~256 MB
+    budget = (256 << 20) // max(kg * 128 * d * 4, 1)
+    sub = 64
+    while sub > 8 and sub > budget:
+        sub //= 2
+    sub = min(sub, qb)
     scores, ids = _scan_all(
         q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
         state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
-        precision=precision, interpret=interpret,
+        precision=precision, interpret=interpret, sub=sub,
     )
     out = (
         np.asarray(scores[:B]),

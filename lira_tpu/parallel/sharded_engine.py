@@ -397,19 +397,26 @@ class ShardedQueryEngine:
     def _scan_fn(self, fetch_k: int, kg: int, k: int, U: int, chunk: int, qb: int):
         key = (self.local_impl, fetch_k, kg, k, U, chunk, qb)
         if key not in self._scan_cache:
+            precision = "default" if self.scan_dtype == jnp.bfloat16 else "highest"
+            # bound the round-2 gather staging (sub, kg, tile, d) to ~256 MB
+            # per device — at the reference's k=100 default kg is 208 tiles
+            dim = self.corpus.shape[-1]
+            budget = (256 << 20) // max(kg * self.tile * dim * 4, 1)
+            sub = 64
+            while sub > 8 and sub > budget:
+                sub //= 2
+            sub = min(sub, qb)
             if self.local_impl == "pallas":
-                precision = "default" if self.scan_dtype == jnp.bfloat16 else "highest"
                 body = partial(
                     _local_blocked_scan_pallas, fetch_k=fetch_k, kg=kg, k=k,
                     metric=self.metric, axis=self.axis, qb=qb,
-                    precision=precision, interpret=self.interpret, sub=64,
+                    precision=precision, interpret=self.interpret, sub=sub,
                 )
             else:
-                precision = "default" if self.scan_dtype == jnp.bfloat16 else "highest"
                 body = partial(
                     _local_blocked_scan_all, fetch_k=fetch_k, kg=kg, k=k,
                     metric=self.metric, axis=self.axis, tile=self.tile,
-                    chunk=chunk, sub=64, qb=qb, precision=precision,
+                    chunk=chunk, sub=sub, qb=qb, precision=precision,
                 )
             fn = jax.shard_map(
                 body,

@@ -100,3 +100,28 @@ def test_blocked_empty_and_tiny_buckets(rng):
         got = res.ids[i][res.ids[i] >= 0]
         assert set(got) == set(gt[i])  # every real point found exactly once
         assert (res.ids[i][len(got):] == -1).all()
+
+
+@pytest.mark.parametrize("metric", ["L2", "inner_product"])
+def test_blocked_matches_xla_k100(rng, metric):
+    """The reference large-scale default is k=100 (LIRA_largescale.py:27-49):
+    fetch_k=200, kg=208 — the wide-candidate regime the per-query Pallas
+    kernel refuses (>128) and round 2 must still rescore exactly."""
+    x_q, e_ref, e_blk = _build(rng, metric, n=6400, n_bkt=9)
+    for thr in (0.0, 0.5):
+        r1 = e_ref.search(x_q, thr, k=100)
+        r2 = e_blk.search(x_q, thr, k=100)
+        np.testing.assert_array_equal(r1.nprobe, r2.nprobe)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+
+
+def test_blocked_bf16_k100(rng):
+    """bf16 screen at k=100: tiny corpus -> candidate set exhaustive, so the
+    f32 rescore must recover identical neighbor sets."""
+    x_q, e_ref, e_blk = _build(rng, "L2", n=3200, scan_dtype="bfloat16")
+    r1 = e_ref.search(x_q, 0.3, k=100)
+    r2 = e_blk.search(x_q, 0.3, k=100)
+    for i in range(len(x_q)):
+        assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), i
