@@ -111,9 +111,11 @@ def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int):
 # ---------------------------------------------------------------------------
 
 
-def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, precision):
+def _union_groupmin_kernel(
+    sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, precision, sel_rows=128
+):
     """One (block, union-supertile) step: (S·128, d) × (qb, d)ᵀ on the MXU →
-    per-tile min over SUBLANES, emitted (1, S, qb).
+    per-group min over SUBLANES, emitted (1, S·128/sel_rows, qb).
 
     The dot is computed transposed on purpose: with a (qb, S·128) score
     block the per-tile min reduces over the LANE dimension and the result
@@ -122,7 +124,15 @@ def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, 
     by switching).  Transposed, the min is a cheap vertical reduce and the
     output orientation falls out for free.  bsq_ref arrives as a flat
     (S·128, 1) column (BlockScanState.bsq_col): reshaping a (S, 128) block
-    to (S·128, 1) in-kernel is a lane→sublane relayout Mosaic rejects."""
+    to (S·128, 1) in-kernel is a lane→sublane relayout Mosaic rejects.
+
+    sel_rows < 128 emits finer-grained minima (e.g. 32-row groups): round 2
+    then gathers sel_rows-row groups instead of whole 128-row tiles,
+    cutting its HBM traffic 128/sel_rows× at the cost of a wider top-k in
+    the selection phase.  Exactness is preserved for any group size: the
+    true top-fetch_k rows lie in ≤ fetch_k distinct groups, and a group
+    holding one has group-min ≤ that row's score, so selecting the
+    kg ≥ fetch_k best group-mins always covers them."""
     dot = jax.lax.dot_general(
         chunk_ref[...], q_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -133,9 +143,10 @@ def _union_groupmin_kernel(sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, 
         scores = bsq_ref[...] - dot
     else:
         scores = bsq_ref[...] - 2.0 * dot
+    n_groups = S_TILES * 128 // sel_rows
     mins = [
-        scores[t * 128 : (t + 1) * 128, :].min(axis=0, keepdims=True)
-        for t in range(S_TILES)
+        scores[g * sel_rows : (g + 1) * sel_rows, :].min(axis=0, keepdims=True)
+        for g in range(n_groups)
     ]
     out_ref[...] = jnp.concatenate(mins, axis=0)[None]
 
@@ -185,8 +196,9 @@ def _screen_rescore(
     interpret: bool,
     sub: int = 64,
     screen_only: bool = False,  # phase profiling: stop after tile selection
+    sel_rows: int = 128,  # selection granularity in rows (128 = whole tiles)
 ):
-    """Pallas group-min screen + masked tile selection + exact f32 rescore
+    """Pallas group-min screen + masked group selection + exact f32 rescore
     over every query block.  Returns (neg (B_pad, k_loc), ids (B_pad, k_loc),
     k_loc) in block (permuted) order — shared by the single-chip `_scan_all`
     and the per-device body of the sharded engine (which merges shards over
@@ -194,6 +206,8 @@ def _screen_rescore(
     B, d = q_perm.shape
     n_blocks, U = supers.shape
     q_r1 = q_perm.astype(corpus_flat.dtype)
+    G = 128 // sel_rows  # selection groups per 128-row tile
+    SG = S_TILES * G  # groups per supertile
 
     # the scalar-prefetch operand lives in SMEM (1 MiB): split the pallas
     # call into groups of block rows so each call's supers slice fits with
@@ -222,37 +236,43 @@ def _screen_rescore(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, S_TILES, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
+                (1, SG, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
             ),
         )
         parts.append(
             pl.pallas_call(
-                partial(_union_groupmin_kernel, metric=metric, precision=precision),
+                partial(_union_groupmin_kernel, metric=metric, precision=precision,
+                        sel_rows=sel_rows),
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct(((e - s), U * S_TILES, qb), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct(((e - s), U * SG, qb), jnp.float32),
                 interpret=interpret,
             )(supers[s:e], q_rows, corpus_flat, bsq_col)
         )
     gmin = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
-    tiles_f32 = corpus_flat_f32.reshape(-1, 128, d)
-    kg_eff = min(kg, U * S_TILES)
-    k_loc = min(fetch_k, kg_eff * 128)
+    groups_f32 = corpus_flat_f32.reshape(-1, sel_rows, d)
+    bsq_g = bsq.reshape(-1, sel_rows)
+    ids_g = tiles_ids.reshape(-1, sel_rows)
+    if G > 1:
+        # per-tile bucket map → per-group (groups within a tile are contiguous)
+        tb = jnp.repeat(tb, G, axis=1)
+    kg_eff = min(kg, U * SG)
+    k_loc = min(fetch_k, kg_eff * sel_rows)
 
     def per_block(args):
         gmin_b, probed_b, tb_b, supers_b, q_b = args
-        # mask: a query sees only tiles of buckets it probed
+        # mask: a query sees only groups of buckets it probed
         qb_ = q_b.shape[0]
         pen_b = jnp.where(probed_b.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, qb)
         pen_b = jnp.concatenate([pen_b, jnp.full((1, qb_), _BIG, jnp.float32)], axis=0)
         tbx = jnp.where(tb_b >= 0, tb_b, pen_b.shape[0] - 1)
-        masked = gmin_b + pen_b[tbx]  # (U*S, qb)
+        masked = gmin_b + pen_b[tbx]  # (U*SG, qb)
 
         vals, sel = jax.lax.top_k(-masked.T, kg_eff)  # (qb, kg)
-        gtile = supers_b[sel // S_TILES] * S_TILES + sel % S_TILES
+        ggrp = supers_b[sel // SG] * SG + sel % SG  # global sel_rows-group index
         valid = vals > -(_BIG / 2)
         if screen_only:
-            v, g = vals[:, :k_loc], gtile[:, :k_loc].astype(jnp.int32)
+            v, g = vals[:, :k_loc], ggrp[:, :k_loc].astype(jnp.int32)
             if k_loc > kg_eff:
                 pad = k_loc - kg_eff
                 v = jnp.concatenate([v, jnp.full((qb_, pad), -jnp.inf, jnp.float32)], 1)
@@ -261,19 +281,19 @@ def _screen_rescore(
 
         def rbody(rargs):
             qs, sg, val = rargs
-            vec = tiles_f32[sg]  # (sub, kg, 128, d) tile-granular gather
+            vec = groups_f32[sg]  # (sub, kg, sel_rows, d) group-granular gather
             dot = jnp.einsum(
                 "stgd,sd->stg", vec, qs,
                 precision="highest", preferred_element_type=jnp.float32,
             )
-            sq = bsq[sg]
+            sq = bsq_g[sg]
             score = sq - dot if metric == "inner_product" else sq - 2.0 * dot
-            ids = tiles_ids[sg]
+            ids = ids_g[sg]
             score = score + jnp.where(val, 0.0, _BIG)[:, :, None]
             score = jnp.where(ids >= 0, score, _BIG)
             n = qs.shape[0]
-            neg, pos = jax.lax.top_k(-score.reshape(n, kg_eff * 128), k_loc)
-            oid = jnp.take_along_axis(ids.reshape(n, kg_eff * 128), pos, axis=1)
+            neg, pos = jax.lax.top_k(-score.reshape(n, kg_eff * sel_rows), k_loc)
+            oid = jnp.take_along_axis(ids.reshape(n, kg_eff * sel_rows), pos, axis=1)
             return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
 
         sub_eff = sub if qb_ % sub == 0 else qb_
@@ -282,7 +302,7 @@ def _screen_rescore(
             rbody,
             (
                 q_b.reshape(n_sub, sub_eff, d),
-                gtile.reshape(n_sub, sub_eff, kg_eff),
+                ggrp.reshape(n_sub, sub_eff, kg_eff),
                 valid.reshape(n_sub, sub_eff, kg_eff),
             ),
         )
@@ -296,7 +316,7 @@ def _screen_rescore(
     jax.jit,
     static_argnames=(
         "metric", "kg", "fetch_k", "k", "qb", "precision", "interpret", "sub",
-        "screen_only",
+        "screen_only", "sel_rows",
     ),
 )
 def _scan_all(
@@ -318,6 +338,7 @@ def _scan_all(
     interpret: bool,
     sub: int = 64,
     screen_only: bool = False,  # phase profiling: stop after tile selection
+    sel_rows: int = 128,
 ):
     """(scores (B_pad, k), ids (B_pad, k)) — one device program, including
     the dedup of replicated points to k distinct neighbors."""
@@ -328,7 +349,7 @@ def _scan_all(
     neg, ids, k_loc = _screen_rescore(
         q_perm, probed_p, supers, tb, corpus_flat, bsq, corpus_flat_f32, tiles_ids,
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
-        interpret=interpret, sub=sub, screen_only=screen_only,
+        interpret=interpret, sub=sub, screen_only=screen_only, sel_rows=sel_rows,
     )
     if k_loc < k:  # tiny layouts: fewer candidates than k
         pad = k - k_loc
@@ -444,9 +465,15 @@ def blocked_search(
     block_q: int = 256,
     margin: int | None = None,
     interpret: bool | None = None,
+    sel_rows: int = 128,
 ):
     """(scores (B,k), ids (B,k), nprobe, ndis) — two device round trips,
-    deduplicated to k distinct neighbors on device."""
+    deduplicated to k distinct neighbors on device.
+
+    `sel_rows` < 128 selects round-2 candidates at sub-tile granularity
+    (32/64-row groups): the exact rescore then gathers 128/sel_rows× fewer
+    HBM bytes per query at the cost of a wider selection top-k — the
+    measured trade is workload-dependent (see scripts/sel_rows_bench.py)."""
     import os
     import time as _time
 
@@ -511,10 +538,10 @@ def blocked_search(
     )
     mark("host_unions")
     kg = fetch_k + margin
-    # round-2 rescore gathers (sub, kg, 128, d) f32 per query sub-batch; at
-    # the reference's large-scale default k=100 (fetch_k 200, kg 208) the
+    # round-2 rescore gathers (sub, kg, sel_rows, d) f32 per query sub-batch;
+    # at the reference's large-scale default k=100 (fetch_k 200, kg 208) the
     # default sub=64 would stage ~870 MB at d=128 — bound it to ~256 MB
-    budget = (256 << 20) // max(kg * 128 * d * 4, 1)
+    budget = (256 << 20) // max(kg * sel_rows * d * 4, 1)
     sub = 64
     while sub > 8 and sub > budget:
         sub //= 2
@@ -523,7 +550,7 @@ def blocked_search(
         q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
         state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
-        precision=precision, interpret=interpret, sub=sub,
+        precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
     )
     out = (
         np.asarray(scores[:B]),

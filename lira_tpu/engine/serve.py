@@ -153,6 +153,8 @@ class QueryEngine:
         block_q: int = 1024,  # blocked scan: queries per union block
         block_margin: int | None = None,  # blocked scan: extra tiles selected
         prober=None,  # optional queries -> (B, n_bkt) scores, replacing the MLP
+        block_sel_rows: int = 128,  # blocked scan: selection granularity
+        # (32/64 shrink round-2 gather traffic 4×/2×; see blocked_search)
     ):
         """scan_impl:
           'blocked' — throughput path: queries grouped by top bucket share
@@ -171,6 +173,7 @@ class QueryEngine:
         self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
         self.block_q = block_q
         self.block_margin = block_margin
+        self.block_sel_rows = block_sel_rows
         self.prober = prober  # e.g. engine.ivf_baseline.ivf_probe_matrix for
         # the measured LIRA-vs-IVF comparison on an identical layout
         self.tile = tile or layout.tile
@@ -340,6 +343,7 @@ class QueryEngine:
             scores, ids, nprobe, ndis = blocked_search(
                 self._block_state, self, queries, threshold, fetch_k, k,
                 block_q=self.block_q, margin=self.block_margin,
+                sel_rows=self.block_sel_rows,
             )
             return SearchResult(
                 ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,

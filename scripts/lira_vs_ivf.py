@@ -79,9 +79,10 @@ def main():
         n_base=n, n_query=n_q, dim=dim, k_gt=k, seed=43, name=f"ivfcmp-{regime}",
         compute_gt=False, **gen,
     )
+    print(f"dataset generated ({time.time() - t0:.1f}s), computing gt...", flush=True)
     from lira_tpu.ops.knn import exact_knn
 
-    _, gt = exact_knn(bundle.base, bundle.query, k)
+    _, gt = exact_knn(bundle.base, bundle.query, k, verbose=True)
     bundle.groundtruth = gt
     print(f"dataset ready ({time.time() - t0:.1f}s)", flush=True)
 

@@ -125,3 +125,25 @@ def test_blocked_bf16_k100(rng):
     r2 = e_blk.search(x_q, 0.3, k=100)
     for i in range(len(x_q)):
         assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), i
+
+
+@pytest.mark.parametrize("sel_rows", [32, 64])
+def test_blocked_subtile_selection_matches(rng, sel_rows):
+    """Group-granular round-2 selection (sel_rows < 128) is an execution
+    strategy: results must equal the per-query oracle engine exactly."""
+    x_q, e_ref, e_blk = _build(rng, "L2", block_sel_rows=sel_rows)
+    for thr in (0.0, 0.45, 0.7):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_blk.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.nprobe, r2.nprobe)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+
+
+def test_blocked_subtile_bf16(rng):
+    x_q, e_ref, e_blk = _build(rng, "L2", scan_dtype="bfloat16", block_sel_rows=32)
+    r1 = e_ref.search(x_q, 0.4, k=5)
+    r2 = e_blk.search(x_q, 0.4, k=5)
+    for i in range(len(x_q)):
+        assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), i
