@@ -1,18 +1,24 @@
 """Headline benchmark: end-to-end serving QPS at 1M-corpus scale, one chip.
 
 Measures the blocked union-scan serving engine (probe → select → scan →
-top-k, exact ndis accounting) on a 1M×128 clustered corpus with 1024
-partitions at the ndis ≈ 0.8%-of-corpus operating point, batch 65536.
+top-k, exact ndis accounting) on a 1M×128 **hard-regime** corpus
+(low-intrinsic-dim manifold, scripts/hard_regime_calibrate.py: IVF needs
+nprobe ≈ 10/17 for recall 0.90/0.95 at 1024 partitions — the fan-out
+regime of the reference's sift/gist configs) with a **learned** K-Means
+layout and a **trained** probing MLP, at the nprobe ≈ 8 operating point
+(ndis ≈ 0.8% of corpus), batch 65536.
 
 vs_baseline: ratio against the REFERENCE serving engine's measured CPU QPS
 on this machine — search.cpp compiled from the reference sources against
 pip LibTorch (scripts/reference_baseline/) and run on an identical
 lira_tpu-built index (scripts/head_to_head.py); the recorded number lives
 in logs/head_to_head.json.  Recall/ndis parity between the two engines was
-verified on that shared index.
+verified on that shared index.  The host has ONE CPU core; per-core
+scaling context is recorded by scripts/parallel_cpu_baseline.py.
 
-Correctness is asserted in-run: for sampled queries the engine's neighbors
-must exactly match a numpy oracle restricted to the probed buckets.
+Correctness is asserted in-run: for 64 sampled queries the engine's
+neighbors must exactly match a numpy oracle restricted to the probed
+buckets, and recall@10 against exact ground truth is reported.
 
 Falls back to the round-1 exact-kNN benchmark if the serving path fails
 (remote-compile flakes happen on this rig).
@@ -57,45 +63,57 @@ def serving_bench():
     import jax.numpy as jnp
 
     from lira_tpu.engine.serve import QueryEngine
-    from lira_tpu.labels.scaler import StandardScaler
-    from lira_tpu.models.probing_mlp import init_params
-    from lira_tpu.ops.distance import l2_to_centroids
+    from lira_tpu.io.datasets import synthetic_dataset
+    from lira_tpu.labels.distr import knn_bucket_labels
+    from lira_tpu.labels.scaler import scaled_centroid_distances
+    from lira_tpu.models.train import make_train_state, train_epoch
+    from lira_tpu.ops.knn import exact_knn, self_knn
     from lira_tpu.partition.assign import build_bucket_layout
-    from lira_tpu.partition.kmeans import kmeans_assign
+    from lira_tpu.partition.kmeans import kmeans_assign, kmeans_fit
 
     if os.environ.get("LIRA_BENCH_SMALL") == "1":  # CPU smoke mode
-        n, d, n_bkt, k, batch = 20_000, 16, 32, 10, 512
+        n, d, n_bkt, k, batch, n_gt, n_epoch = 20_000, 16, 32, 10, 512, 128, 2
     else:
-        n, d, n_bkt, k, batch = 1_000_000, 128, 1024, 10, 65536
+        n, d, n_bkt, k, batch, n_gt, n_epoch = 1_000_000, 128, 1024, 10, 65536, 4096, 6
     t0 = time.perf_counter()
-    rng = np.random.default_rng(43)
-    centers = rng.standard_normal((n_bkt, d), dtype=np.float32) * 30.0
-    x_d = centers[rng.integers(0, n_bkt, size=n)]
-    x_d += rng.standard_normal((n, d), dtype=np.float32) * 14.0
-    x_q = x_d[rng.integers(0, n, size=batch)] + rng.standard_normal(
-        (batch, d), dtype=np.float32) * 10.0
-    log(f"corpus ready ({time.perf_counter() - t0:.1f}s)")
+    b = synthetic_dataset(
+        n_base=n, n_query=batch, dim=d, n_clusters=64, k_gt=k, seed=43,
+        compute_gt=False, intrinsic_dim=min(16, d), center_scale=1.0,
+        noise_scale=1.0, query_noise=0.35, ambient_noise=0.02, name="bench",
+    )
+    x_d, x_q = b.base, b.query
+    log(f"hard-regime corpus ready ({time.perf_counter() - t0:.1f}s)")
 
-    # partition on the true generator centers (kmeans quality is benched by
-    # the pipeline; here the scan is the subject and layout must be stable)
+    # real pipeline: learned partitions, trained probing model
     t0 = time.perf_counter()
-    assign = kmeans_assign(x_d, centers)
+    km = kmeans_fit(x_d, n_bkt, niter=20, seed=43)
+    assign = kmeans_assign(x_d, km.centroids)
     layout = build_bucket_layout(assign, n_bkt)
-    raw = np.empty((min(n, 65536), n_bkt), np.float32)
-    cj = jnp.asarray(centers)
-    for s in range(0, len(raw), 16384):
-        raw[s : s + 16384] = np.asarray(
-            l2_to_centroids(jnp.asarray(x_d[s : s + 16384]), cj)
-        )
-    scaler = StandardScaler().fit(raw)
-    params = init_params(jax.random.PRNGKey(0), n_bkt, d)
-    log(f"layout + scaler ready ({time.perf_counter() - t0:.1f}s)")
+    log(f"kmeans layout ready ({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    knn_ids = self_knn(x_d, k)
+    d2b = assign.reshape(-1, 1).astype(np.int32)
+    labels = knn_bucket_labels(knn_ids, d2b, n_bkt)
+    dist, _, scaler = scaled_centroid_distances(x_d, x_q[:8], km.centroids)
+    state = make_train_state(43, n_bkt, d)
+    x_dev = jnp.asarray(x_d, jnp.float32)
+    lab_dev = jnp.asarray(labels, jnp.float32)
+    for _ in range(n_epoch):
+        state, _ = train_epoch(state, dist, x_dev, lab_dev, batch_size=256)
+    del dist, lab_dev
+    params = state.params
+    log(f"probing model trained {n_epoch} epochs ({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    _, gt = exact_knn(x_d, x_q[:n_gt], k)
+    log(f"gt for {n_gt} queries ({time.perf_counter() - t0:.1f}s)")
 
     def measure(scan_dtype):
         """Measured QPS for one engine mode, oracle-asserted in-run."""
         t0 = time.perf_counter()
-        eng = QueryEngine(x_d, layout, centers, scaler, params, probe_cap=128,
-                          scan_impl="blocked", block_q=1024,
+        eng = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                          probe_cap=128, scan_impl="blocked", block_q=1024,
                           scan_dtype=scan_dtype)
         outputs = eng.probe(x_q[:512])
         thr = float(np.quantile(outputs, 1.0 - 8 / n_bkt))  # ~8 probes/query
@@ -107,24 +125,27 @@ def serving_bench():
         elapsed = time.perf_counter() - t0
         qps = batch / elapsed
         ndis_pct = 100 * r.ndis.mean() / n
+        hits = (r.ids[:n_gt, :, None] == gt[:, None, :]).any(axis=1)
+        recall = hits.mean()
         log(f"serve[{scan_dtype}]: nprobe≈{r.nprobe.mean():.1f} "
-            f"ndis={r.ndis.mean():.0f} ({ndis_pct:.2f}% corpus): "
-            f"{qps:.0f} QPS ({1e6 * elapsed / batch:.0f} us/q)")
+            f"ndis={r.ndis.mean():.0f} ({ndis_pct:.2f}% corpus) "
+            f"recall@{k}={recall:.4f}: {qps:.0f} QPS ({1e6 * elapsed / batch:.0f} us/q)")
 
-        # correctness: sampled queries vs a numpy oracle over the probed
+        # correctness: 64 sampled queries vs a numpy oracle over the probed
         # buckets — exact neighbor-set match required (the bf16 mode's
         # screen must not have missed a single tile)
-        out_s = eng.probe(x_q[:32])
+        n_chk = 256
+        out_s = eng.probe(x_q[:n_chk])
         probed = eng.select_buckets(out_s, thr)
-        for i in np.random.default_rng(0).integers(0, 32, size=6):
+        for i in np.random.default_rng(0).choice(n_chk, size=64, replace=False):
             members = np.unique(np.concatenate(
-                [layout.bucket_members(b) for b in np.nonzero(probed[i])[0]]
+                [layout.bucket_members(bb) for bb in np.nonzero(probed[i])[0]]
             ))
             dd = ((x_d[members] - x_q[i]) ** 2).sum(axis=1)
             expect = set(members[np.argsort(dd, kind="stable")][: min(k, len(members))])
             got = set(int(v) for v in r.ids[i] if v >= 0)
             assert got == expect, f"query {i}: engine != oracle"
-        log(f"oracle check[{scan_dtype}]: neighbor sets exact on 6 sampled queries")
+        log(f"oracle check[{scan_dtype}]: neighbor sets exact on 64 sampled queries")
         return qps
 
     # headline: bf16 screen + exact f32 on-device re-rank (zero measured
@@ -188,6 +209,12 @@ def knn_fallback():
 
 
 if __name__ == "__main__":
+    if os.environ.get("LIRA_BENCH_SMALL") == "1":
+        # smoke mode must stay off the TPU (this rig's sitecustomize forces
+        # the axon backend; env vars alone don't override it)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     try:
         serving_bench()
     except Exception as exc:
