@@ -89,18 +89,53 @@ def main():
     cfg = Config(dataset=f"ivfcmp-{regime}", data_path="/tmp/ivfcmp", k=k,
                  n_bkt=n_bkt, n_epoch=n_epoch, pth_log=None).update()
     cfg.pth_log = None  # no pipeline CSV side effects
-    res = run_smallscale(cfg, bundle=bundle, serve_sweep=False, use_cache=False)
-    km, scaler, state = res["kmeans"], res["scaler"], res["state"]
-    layout_re = res["layout"]  # with learning-based redundancy
-    print(f"pipeline trained ({time.time() - t0:.1f}s)", flush=True)
 
-    d2b0 = np.full((n, 1), -1, np.int32)
-    d2b0[:, 0] = kmeans_assign(bundle.base, km.centroids)
+    # trained-state cache: the pipeline costs ~50 min at 1M through the
+    # tunnel; sweeps are minutes — cache (centroids, scaler, params, d2b)
+    # so sweep settings can be iterated without retraining
+    cache = f"/tmp/lvi_{regime}_{n}_{n_bkt}_{n_epoch}.npz"
+    if os.path.exists(cache):
+        import jax
+
+        from lira_tpu.labels.scaler import StandardScaler
+        from lira_tpu.models.probing_mlp import init_params
+        from lira_tpu.models.train import make_train_state
+        from lira_tpu.partition.kmeans import KMeans
+
+        f = np.load(cache)
+        km = KMeans(centroids=f["centroids"], objective=f["objective"])
+        scaler = StandardScaler()
+        scaler.mean_, scaler.scale_ = f["scaler_mean"], f["scaler_scale"]
+        state = make_train_state(cfg.seed, n_bkt, dim)
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        for layer in params:
+            for name in params[layer]:
+                params[layer][name] = f[f"p/{layer}/{name}"]
+        state.params = params  # plain dataclass (models/train.TrainState)
+        layout_re = build_bucket_layout(f["d2b_re"], n_bkt)
+        d2b0 = f["d2b0"]
+        print(f"pipeline state loaded from {cache} ({time.time() - t0:.1f}s)", flush=True)
+    else:
+        res = run_smallscale(cfg, bundle=bundle, serve_sweep=False, use_cache=False)
+        km, scaler, state = res["kmeans"], res["scaler"], res["state"]
+        layout_re = res["layout"]  # with learning-based redundancy
+        d2b0 = np.full((n, 1), -1, np.int32)
+        d2b0[:, 0] = kmeans_assign(bundle.base, km.centroids)
+        flat = {
+            "centroids": np.asarray(km.centroids), "objective": np.asarray(km.objective),
+            "scaler_mean": np.asarray(scaler.mean_), "scaler_scale": np.asarray(scaler.scale_),
+            "d2b_re": np.asarray(res["data_2_bkt"], np.int32), "d2b0": d2b0,
+        }
+        for layer in state.params:
+            for name in state.params[layer]:
+                flat[f"p/{layer}/{name}"] = np.asarray(state.params[layer][name])
+        np.savez(cache, **flat)
+        print(f"pipeline trained ({time.time() - t0:.1f}s); state cached", flush=True)
     layout0 = build_bucket_layout(d2b0, n_bkt)
 
     x_q, gt_ids = bundle.query, bundle.groundtruth
-    thresholds = np.arange(0.05, 0.95, 0.05)
-    nprobes = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128]
+    thresholds = np.concatenate([[0.005, 0.01, 0.02, 0.03], np.arange(0.05, 0.95, 0.05)])
+    nprobes = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256]
     ivf_thr = np.array([1.0 - (m - 0.5) / n_bkt for m in nprobes])
 
     engines = {
@@ -119,6 +154,12 @@ def main():
     for name, eng in engines.items():
         thr = ivf_thr if name == "ivf" else thresholds
         sweeps[name] = eng.sweep(x_q, gt_ids, k, thr)
+        # second pass: every threshold-shape is now compiled, so pass-2 QPS
+        # is the steady-state serving rate (pass 1 absorbs one XLA compile
+        # per new union-width power of two)
+        warm = eng.sweep(x_q, gt_ids, k, thr, warmup=False)
+        for r1, r2 in zip(sweeps[name], warm):
+            r1["qps"] = max(r1["qps"], r2["qps"])
         rows_to_csv(sweeps[name], f"./logs/lira_vs_ivf/{regime}_{name}_n{n}_bkt{n_bkt}.csv")
         for r in sweeps[name]:
             print(

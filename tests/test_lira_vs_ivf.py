@@ -1,8 +1,14 @@
 """The paper's headline comparison, reproduced end-to-end on synthetic data:
-at matched recall, learned probing should need no more computations (ndis)
-than classic probe-by-centroid-distance IVF (reference README claim: up to
-30% reduction; here we assert non-regression at matched recall on a small
-clustered corpus)."""
+at matched recall, learned probing must beat classic
+probe-by-centroid-distance IVF on computations (ndis) — the reference
+README claims up to 30% reduction.  The corpus is the HARD fan-out regime
+(low-intrinsic-dim manifold, like the measured 1M comparison in
+scripts/lira_vs_ivf.py and logs/lira_vs_ivf/): in the separable regime
+both probe ~1 bucket and the comparison is vacuous.
+
+Measured 1M×128/1024 counterpart (one TPU chip, logs/lira_vs_ivf/): LIRA
+ndis ×0.72 of IVF at recall 0.95 — the paper's claimed reduction,
+reproduced end to end."""
 
 import numpy as np
 import pytest
@@ -19,9 +25,13 @@ from lira_tpu.pipelines.smallscale import run_smallscale
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
-    bundle = synthetic_dataset(n_base=6000, n_query=60, dim=24, n_clusters=24, k_gt=20, seed=43)
+    bundle = synthetic_dataset(
+        n_base=20000, n_query=100, dim=32, n_clusters=8, k_gt=20, seed=43,
+        intrinsic_dim=8, center_scale=1.0, noise_scale=1.0, query_noise=0.35,
+        ambient_noise=0.02,
+    )
     cfg = Config(
-        dataset="synthetic", k=10, n_bkt=24, n_epoch=6, batch_size=64,
+        dataset="synthetic", k=10, n_bkt=32, n_epoch=8, batch_size=64,
         redundancy_ratio=0.03, data_path=str(tmp_path_factory.mktemp("d")),
     ).update()
     cfg.pth_log = None
@@ -30,7 +40,7 @@ def trained(tmp_path_factory):
     return cfg, res, bundle
 
 
-def test_lira_not_worse_than_ivf_at_matched_recall(trained):
+def test_lira_beats_ivf_at_matched_recall(trained):
     cfg, res, bundle = trained
     # IVF sweep on the SAME final (redundant) layout for apples-to-apples ndis
     layout = res["layout"]
@@ -44,20 +54,23 @@ def test_lira_not_worse_than_ivf_at_matched_recall(trained):
          "avg_cmp": r["computations"]}
         for r in ivf_sweep(
             bundle.query, res["kmeans"].centroids, gtb, hit, layout.sizes, cfg.k,
-            nprobes=list(range(1, 25)),
+            nprobes=list(range(1, 33)),
         )
     ]
     lira_rows = res["sweep_parts"][1]  # post-redundancy sweep
 
-    for target in (0.85, 0.9):
+    ratios = {}
+    for target in (0.85, 0.9, 0.95):
         cmp_res = compare_at_recall(lira_rows, ivf_rows, target)
-        if cmp_res is None:
-            continue
-        # ndis_ratio = ivf/lira ≥ ~1 means LIRA is at least as cheap
-        assert cmp_res["ndis_ratio"] > 0.9, (
+        assert cmp_res is not None, f"target {target} infeasible"
+        ratios[target] = cmp_res["ndis_ratio"]  # ivf/lira: ≥1 → LIRA cheaper
+        assert cmp_res["ndis_ratio"] >= 1.0, (
             f"target {target}: LIRA ndis {cmp_res['a'].computations:.0f} vs "
             f"IVF {cmp_res['b'].computations:.0f}"
         )
+    # the reduction must be material at least once (measured here: 1.39 at
+    # 0.85, 1.19 at 0.90, 1.11 at 0.95 — comfortably above the bound)
+    assert max(ratios.values()) >= 1.05, ratios
 
 
 def test_lira_reaches_high_recall(trained):
