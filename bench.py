@@ -45,12 +45,14 @@ def log(*a):
 REF_CPU_QPS_FALLBACK = 780.0
 
 
-def ref_cpu_qps() -> float:
+def ref_cpu_qps(target_ndis: float = 8000.0) -> float:
+    """Reference-engine QPS at the sweep row whose ndis is closest to the
+    bench's ~0.8%-of-1M operating point — comparing QPS at matched work."""
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "logs", "head_to_head.json")) as f:
             rows = json.load(f)["reference_cpu"]
-        return float(min(rows, key=lambda r: r["threshold"])["qps"])
+        return float(min(rows, key=lambda r: abs(r["avg_cmp"] - target_ndis))["qps"])
     except Exception:
         return REF_CPU_QPS_FALLBACK
 

@@ -16,8 +16,10 @@ artifact contract (incl. the TorchScript model), then:
 Recall and ndis must agree (same index, same probing semantics — MLP
 forwards differ only in float rounding); QPS is the measured headline.
 
-Usage: python scripts/head_to_head.py [n] [n_bkt] [n_q] [n_epoch]
-Writes logs/head_to_head.json.
+Usage: python scripts/head_to_head.py [n] [n_bkt] [n_q] [n_epoch] [regime]
+regime 'hard' (default): the calibrated fan-out corpus (nprobe ≈ 10-17 at
+recall 0.90-0.95, scripts/hard_regime_calibrate.py); 'easy': the round-2
+separable corpus.  Writes logs/head_to_head.json.
 """
 
 import json
@@ -71,7 +73,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
-    n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     d, k = 128, 10
 
     if not os.path.exists(REF_BIN):
@@ -79,12 +81,19 @@ def main():
             f"{REF_BIN} missing — run scripts/reference_baseline/build_reference_search.sh"
         )
 
-    rng = np.random.default_rng(43)
-    centers = rng.standard_normal((n_bkt, d), dtype=np.float32) * 30.0
-    x_d = centers[rng.integers(0, n_bkt, size=n)] + rng.standard_normal(
-        (n, d), dtype=np.float32) * 14.0
-    x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
-        (n_q, d), dtype=np.float32) * 10.0
+    from lira_tpu.io.datasets import synthetic_dataset
+
+    regime = sys.argv[5] if len(sys.argv) > 5 else "hard"
+    if regime == "hard":
+        # the calibrated fan-out regime (scripts/hard_regime_calibrate.py)
+        gen = dict(n_clusters=64, center_scale=1.0, noise_scale=1.0,
+                   query_noise=0.35, intrinsic_dim=16, ambient_noise=0.02)
+    else:
+        gen = dict(n_clusters=n_bkt, center_scale=30.0, noise_scale=14.0,
+                   query_noise=10.0)
+    bsyn = synthetic_dataset(n_base=n, n_query=n_q, dim=d, k_gt=k, seed=43,
+                             compute_gt=False, name="h2h", **gen)
+    x_d, x_q = bsyn.base, bsyn.query
     _, gt = exact_knn(x_d, x_q, k)
     print("dataset + gt ready", flush=True)
 
@@ -109,7 +118,7 @@ def main():
     write_xvecs(os.path.join(ds_dir, "h2h_groundtruth.ivecs"), gt)
     print(f"artifacts exported under {prefix}", flush=True)
 
-    t_min, t_max, t_step = 0.30, 0.76, 0.15
+    t_min, t_max, t_step = 0.05, 0.80, 0.15
     cmd = [
         REF_BIN, "--dataset", "h2h", "--data_path", os.path.join(WORK, "data"),
         "--artifacts_dir", art_dir, "--prefix", cfg.file_name, "--k", str(k),

@@ -7,7 +7,11 @@ this runs the TPU large-scale pipeline end-to-end at that scale on one chip
 analytic sweeps — then a measured blocked-scan serving sweep on the final
 layout.  Prints wall times per stage and the recall-vs-ndis curve.
 
-Usage: python scripts/tpu_10m_demo.py [n] [n_bkt] [n_q] [n_epoch]
+Usage: python scripts/tpu_10m_demo.py [n] [n_bkt] [n_q] [n_epoch] [regime]
+regime 'hard' (default): the calibrated low-intrinsic-dim fan-out corpus
+(scripts/hard_regime_calibrate.py — recall 0.95 needs nprobe >> 1, the
+reference's sift/gist regime); 'easy': separable clusters (saturates at
+nprobe ~1, the round-2 demo corpus).
 """
 
 import os
@@ -46,15 +50,28 @@ def main():
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
     n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+    regime = sys.argv[5] if len(sys.argv) > 5 else "hard"
     d, k = 128, 10
 
     rng = np.random.default_rng(43)
     t0 = time.time()
-    x_d = gen_clustered(n, d, n_bkt, rng)
-    x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
-        (n_q, d), dtype=np.float32
-    ) * 10.0
-    print(f"[gen] {n:,}×{d} corpus + {n_q} queries ({time.time() - t0:.1f}s)", flush=True)
+    if regime == "hard":
+        from lira_tpu.io.datasets import synthetic_dataset
+
+        b = synthetic_dataset(
+            n_base=n, n_query=n_q, dim=d, n_clusters=64, k_gt=k, seed=43,
+            compute_gt=False, intrinsic_dim=16, center_scale=1.0,
+            noise_scale=1.0, query_noise=0.35, ambient_noise=0.02,
+            name=f"syn{n // 1_000_000}m-hard",
+        )
+        x_d, x_q = b.base, b.query
+    else:
+        x_d = gen_clustered(n, d, n_bkt, rng)
+        x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
+            (n_q, d), dtype=np.float32
+        ) * 10.0
+    print(f"[gen] {n:,}×{d} corpus + {n_q} queries, regime={regime} "
+          f"({time.time() - t0:.1f}s)", flush=True)
 
     t0 = time.time()
     _, gt = exact_knn(x_d, x_q, k)
@@ -65,8 +82,9 @@ def main():
     # lr 1e-3: in the 1%-subset / 2048-bucket regime the reference's 1e-4
     # needs ~60 epochs to exit the all-negative basin; 1e-3 reaches hit-rate
     # 0.92 by epoch 40 (scripts/train_scale_probe.py measurements)
+    t_min = 0.05 if regime == "hard" else 0.1
     cfg = Config(dataset=bundle.name, data_path="/tmp/syn10m", k=k, n_bkt=n_bkt,
-                 n_epoch=n_epoch, batch_size=512, lr=1e-3, t_min=0.1, t_max=0.9,
+                 n_epoch=n_epoch, batch_size=512, lr=1e-3, t_min=t_min, t_max=0.9,
                  t_step=0.1).update()
     cfg.pth_log = None
 
@@ -88,7 +106,11 @@ def main():
         n_mul=cfg.n_mul, scan_impl="blocked", probe_cap=256,
     )
     print(f"[engine] blocked engine built ({time.time() - t0:.1f}s)", flush=True)
-    serve_rows = eng.sweep(x_q, gt, k, np.arange(0.15, 0.9, 0.15))
+    # hard regime needs low thresholds for the high-recall tail (the 1M
+    # LVI sweep reaches recall 0.955 at thr 0.05)
+    thr = (np.array([0.01, 0.03, 0.05, 0.1, 0.2, 0.35, 0.5, 0.7])
+           if regime == "hard" else np.arange(0.15, 0.9, 0.15))
+    serve_rows = eng.sweep(x_q, gt, k, thr)
     for r in serve_rows:
         print(f"[serve] thr={r['threshold']:.2f} recall={r['avg_recall']:.4f} "
               f"nprobe={r['avg_nprobe']:.1f} ndis={r['avg_cmp']:.0f} "
