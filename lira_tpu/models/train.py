@@ -142,17 +142,31 @@ def _forward_chunk(params, dist, vec):
     return jax.nn.sigmoid(logits), logits
 
 
-def _batched_forward(params, dist, vec, chunk: int = 65536):
+@jax.jit
+def _forward_chunk_probs(params, dist, vec):
+    return jax.nn.sigmoid(forward_logits(params, dist, vec))
+
+
+def _batched_forward(params, dist, vec, chunk: int = 65536, want_logits: bool = True):
+    """Chunked forward with host materialization.
+
+    At corpus scale the (n, n_bkt) probs/logits are several GB each and the
+    device→host transfer dominates on a tunneled rig — callers that only
+    need scores (the redundancy pass) set want_logits=False and move half
+    the bytes."""
     n = len(dist)
     outs, logits_all = [], []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        probs, logits = _forward_chunk(
-            params, jnp.asarray(dist[s:e], jnp.float32), jnp.asarray(vec[s:e], jnp.float32)
-        )
+        d = jnp.asarray(dist[s:e], jnp.float32)
+        v = jnp.asarray(vec[s:e], jnp.float32)
+        if want_logits:
+            probs, logits = _forward_chunk(params, d, v)
+            logits_all.append(np.asarray(logits))
+        else:
+            probs = _forward_chunk_probs(params, d, v)
         outs.append(np.asarray(probs))
-        logits_all.append(np.asarray(logits))
-    return np.concatenate(outs), np.concatenate(logits_all)
+    return np.concatenate(outs), (np.concatenate(logits_all) if want_logits else None)
 
 
 def evaluate(
@@ -179,11 +193,38 @@ def evaluate(
     return t, predicts, avg_loss, outputs
 
 
+@jax.jit
+def _forward_counts_chunk(params, dist, vec, sigma):
+    probs = jax.nn.sigmoid(forward_logits(params, dist, vec))
+    return jnp.sum(probs > sigma, axis=1).astype(jnp.int32)
+
+
+def predict_counts(
+    state_or_params, dist, vec, sigma: float = 0.5, chunk: int = 65536
+) -> np.ndarray:
+    """Per-row predicted-nprobe counts Σ(score > σ), reduced ON DEVICE.
+
+    The redundancy selector only ranks points by this count; transferring it
+    instead of the (n, n_bkt) score matrix moves n×4 bytes (4 MB at 1M)
+    rather than ~4 GB — the selected minority is then re-scored with
+    `infer`.  Counts are identical to `infer(...)[0].sum(axis=1)`."""
+    params = getattr(state_or_params, "params", state_or_params)
+    out = np.empty(len(dist), np.int32)
+    for s in range(0, len(dist), chunk):
+        e = min(s + chunk, len(dist))
+        out[s:e] = np.asarray(_forward_counts_chunk(
+            params, jnp.asarray(dist[s:e], jnp.float32),
+            jnp.asarray(vec[s:e], jnp.float32), jnp.float32(sigma),
+        ))
+    return out
+
+
 def infer(
     state_or_params, dist: np.ndarray, vec: np.ndarray, sigma: float = 0.5
 ) -> tuple[np.ndarray, np.ndarray]:
     """(predicts, outputs) — scoring pass used by the redundancy engine
-    (reference: model_probing.py:135-156)."""
+    (reference: model_probing.py:135-156).  Skips the logits transfer
+    (half the device→host bytes of `evaluate` at corpus scale)."""
     params = getattr(state_or_params, "params", state_or_params)
-    outputs, _ = _batched_forward(params, dist, vec)
+    outputs, _ = _batched_forward(params, dist, vec, want_logits=False)
     return outputs > sigma, outputs

@@ -19,10 +19,10 @@ from ..io.datasets import DatasetBundle, load_data
 from ..labels.distr import knn_bucket_labels
 from ..labels.scaler import scaled_centroid_distances
 from ..logging_utils import fprint, stage_timer
-from ..models.train import evaluate, make_train_state, train_epoch
+from ..models.train import infer, make_train_state, predict_counts, train_epoch
 from ..partition.assign import build_bucket_layout
 from ..partition.kmeans import kmeans_assign, kmeans_fit
-from ..redundancy.assign import apply_redundancy, select_top_ratio
+from ..redundancy.assign import apply_redundancy_subset, select_top_ratio
 from .smallscale import get_self_knn
 
 
@@ -59,12 +59,14 @@ def build_index(
         fprint(f"Epoch {epoch}, Train Loss: {loss:.5f}", fw)
 
     if cfg.duplicate_type == "model":
-        _, predicts, _, scores = evaluate(
-            state, dist_d, x_d, labels_data, sigma=cfg.sigma, batch_size=cfg.batch_size
-        )
-        selected = select_top_ratio(predicts, cfg.redundancy_ratio)
+        # device-reduced counts select the boundary minority; only its rows
+        # are re-scored (see pipelines/smallscale.py — saves ~12 GB of D2H
+        # traffic at 1M×1024 on a tunneled rig)
+        counts = predict_counts(state, dist_d, x_d, sigma=cfg.sigma)
+        selected = np.sort(select_top_ratio(counts, cfg.redundancy_ratio))
         fprint(f">> redundancy: duplicating {len(selected)}/{n_d} boundary vectors", fw)
-        data_2_bkt = apply_redundancy(data_2_bkt, scores, predicts, selected)
+        sel_predicts, sel_scores = infer(state, dist_d[selected], x_d[selected], sigma=cfg.sigma)
+        data_2_bkt = apply_redundancy_subset(data_2_bkt, sel_scores, sel_predicts, selected)
 
     out_dir = out_dir or cfg.pth_log
     prefix = save_index_artifacts(

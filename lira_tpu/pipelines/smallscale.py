@@ -33,11 +33,11 @@ from ..labels.distr import gt_bucket_map, knn_bucket_labels
 from ..labels.scaler import scaled_centroid_distances
 from ..logging_utils import ascii_table, fprint, stage_timer
 from ..models.metrics import probing_metrics
-from ..models.train import evaluate, make_train_state, train_epoch
+from ..models.train import evaluate, infer, make_train_state, predict_counts, train_epoch
 from ..ops.knn import self_knn
 from ..partition.assign import build_bucket_layout
 from ..partition.kmeans import kmeans_assign, kmeans_fit
-from ..redundancy.assign import apply_redundancy, select_top_ratio
+from ..redundancy.assign import apply_redundancy_subset, select_top_ratio
 
 
 def get_self_knn(
@@ -176,9 +176,7 @@ def run_smallscale(
             csv = os.path.join(cfg.pth_log, f"{cfg.file_name}_perquery.csv")
         results_pq = per_query_nprobe(outputs, cnt_query, layout.sizes, cfg.k, csv_path=csv)
         fprint(f">> per-query study: mean nprobe@0.98 = {results_pq[:, 1].mean():.2f}", fw)
-        _, data_predicts_diag, _, data_outputs_diag = evaluate(
-            state, train_dist, train_vec, train_tgt, sigma=cfg.sigma, batch_size=cfg.batch_size
-        )
+        _, data_outputs_diag = infer(state, train_dist, train_vec, sigma=cfg.sigma)
         tail = observe_knn_tail(
             cnt_query, data_outputs_diag, dist_d, knn_query, data_2_bkt, max_points=2000
         )
@@ -193,9 +191,12 @@ def run_smallscale(
     thresholds = np.arange(cfg.t_min, cfg.t_max + cfg.t_step / 2, cfg.t_step)
     sweep_parts = []
     if cfg.duplicate_type == "model":
-        _, data_predicts, _, data_scores = evaluate(
-            state, train_dist, train_vec, train_tgt, sigma=cfg.sigma, batch_size=cfg.batch_size
-        )
+        # boundary selection from device-reduced counts: only (n,) int32
+        # leaves the device here; the selected ~3% minority is re-scored
+        # below — vs ~12 GB of score/logit/target traffic for a full
+        # host-side evaluate at 1M×1024 (which cost ~45 min on this
+        # tunneled rig at ~5 MB/s effective D2H)
+        counts = predict_counts(state, train_dist, train_vec, sigma=cfg.sigma)
         with stage_timer("baseline scan + sweep (part 0)", fw):
             corpus = BucketCorpus.build(x_d, layout)
             found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
@@ -203,10 +204,14 @@ def run_smallscale(
             rows0 = threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
         sweep_parts.append(rows0)
 
-        selected = select_top_ratio(data_predicts, cfg.redundancy_ratio)
+        selected = select_top_ratio(counts, cfg.redundancy_ratio)
         fprint(f">> redundancy: duplicating top {len(selected)}/{n_d} boundary vectors", fw)
         with stage_timer("redundancy assignment", fw):
-            data_2_bkt = apply_redundancy(data_2_bkt, data_scores, data_predicts, selected)
+            sel_idx = np.sort(selected)  # monotone gather; set-identical
+            sel_predicts, sel_scores = infer(
+                state, train_dist[sel_idx], train_vec[sel_idx], sigma=cfg.sigma
+            )
+            data_2_bkt = apply_redundancy_subset(data_2_bkt, sel_scores, sel_predicts, sel_idx)
             layout = build_bucket_layout(data_2_bkt, n_bkt)
             gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
 

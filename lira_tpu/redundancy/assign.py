@@ -89,8 +89,11 @@ def select_top_ratio(predicts: np.ndarray, ratio: float) -> np.ndarray:
 
     The reference sorts all base vectors by how many partitions the model
     predicts for them and duplicates the top x% (LIRA_smallscale.py:336-342).
+    Accepts either the (n, n_bkt) 0/1 predict matrix or a precomputed (n,)
+    count vector (`models.train.predict_counts` — the device-reduced form).
     """
-    nprobe = np.asarray(predicts).sum(axis=1)
+    p = np.asarray(predicts)
+    nprobe = p.sum(axis=1) if p.ndim == 2 else p
     order = np.argsort(-nprobe, kind="stable")
     n_red = int(len(order) * ratio)
     return order[:n_red]
@@ -113,4 +116,22 @@ def apply_redundancy(
         return out
     cur = out[selected, 0]
     out[selected] = redundancy_rows(scores[selected], predicts[selected], cur, out.shape[1])
+    return out
+
+
+def apply_redundancy_subset(
+    data_2_bkt: np.ndarray,
+    sel_scores: np.ndarray,
+    sel_predicts: np.ndarray,
+    selected: np.ndarray,
+) -> np.ndarray:
+    """Like `apply_redundancy`, but `sel_scores`/`sel_predicts` carry ONLY the
+    selected rows (row i describes point selected[i]) — the caller scored just
+    the duplicated minority instead of materializing the full (n, n_bkt)
+    matrix (~4 GB at 1M×1024)."""
+    out = np.array(data_2_bkt, copy=True)
+    if len(selected) == 0:
+        return out
+    cur = out[selected, 0]
+    out[selected] = redundancy_rows(sel_scores, sel_predicts, cur, out.shape[1])
     return out

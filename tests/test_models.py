@@ -99,3 +99,15 @@ def test_probing_metrics():
     assert m["KNN Recall"] == 0.25
     # computations: q0: 10+20; q1: 0 -> mean 15
     assert m["KNN Computations"] == 15.0
+
+
+def test_predict_counts_matches_infer(rng):
+    from lira_tpu.models.train import predict_counts
+
+    n, n_bkt, dim = 70, 4, 8
+    state = make_train_state(seed=5, n_bkt=n_bkt, dim=dim)
+    dist = rng.normal(size=(n, n_bkt)).astype(np.float32)
+    vec = rng.normal(size=(n, dim)).astype(np.float32)
+    predicts, _ = infer(state, dist, vec, sigma=0.5)
+    counts = predict_counts(state, dist, vec, sigma=0.5, chunk=32)
+    np.testing.assert_array_equal(counts, predicts.sum(axis=1).astype(np.int32))

@@ -86,3 +86,24 @@ def test_apply_redundancy_and_layout(rng):
     # every point still belongs to its native bucket
     for i in range(n):
         assert d2b[i, 0] in out[i]
+
+
+def test_subset_path_matches_full_apply(rng):
+    """The device-reduced counts → subset-rescore path (pipelines) must be
+    bit-identical to scoring the full corpus and calling apply_redundancy."""
+    from lira_tpu.redundancy.assign import apply_redundancy_subset
+
+    n, n_bkt, n_mul = 200, 8, 3
+    d2b = np.full((n, n_mul), -1, dtype=np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    scores = rng.random((n, n_bkt)).astype(np.float32)
+    predicts = scores > 0.5
+
+    counts = predicts.sum(axis=1).astype(np.int32)
+    sel_counts = np.sort(select_top_ratio(counts, 0.2))
+    sel_full = select_top_ratio(predicts, 0.2)
+    np.testing.assert_array_equal(np.sort(sel_full), sel_counts)
+
+    full = apply_redundancy(d2b, scores, predicts, sel_full)
+    sub = apply_redundancy_subset(d2b, scores[sel_counts], predicts[sel_counts], sel_counts)
+    np.testing.assert_array_equal(full, sub)
