@@ -153,8 +153,10 @@ class QueryEngine:
         block_q: int = 1024,  # blocked scan: queries per union block
         block_margin: int | None = None,  # blocked scan: extra tiles selected
         prober=None,  # optional queries -> (B, n_bkt) scores, replacing the MLP
-        block_sel_rows: int = 128,  # blocked scan: selection granularity
-        # (32/64 shrink round-2 gather traffic 4×/2×; see blocked_search)
+        block_sel_rows: int | None = None,  # blocked scan: selection granularity
+        # (None → measured optimum 32 for bf16 / 64 for f32; 32/64 shrink
+        # round-2 gather traffic 4×/2×, scripts/sel_rows_bench.py:
+        # +29%/+11% QPS at the 0.8%-ndis point on 1M×128)
     ):
         """scan_impl:
           'blocked' — throughput path: queries grouped by top bucket share
@@ -173,6 +175,8 @@ class QueryEngine:
         self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
         self.block_q = block_q
         self.block_margin = block_margin
+        if block_sel_rows is None:
+            block_sel_rows = 32 if self.scan_dtype == jnp.bfloat16 else 64
         self.block_sel_rows = block_sel_rows
         self.prober = prober  # e.g. engine.ivf_baseline.ivf_probe_matrix for
         # the measured LIRA-vs-IVF comparison on an identical layout
