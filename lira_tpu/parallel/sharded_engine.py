@@ -83,7 +83,7 @@ def _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm):
 def _local_blocked_scan_pallas(
     q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids,
     *, fetch_k: int, kg: int, k: int, metric: str, axis: str,
-    qb: int, precision: str, interpret: bool, sub: int,
+    qb: int, precision: str, interpret: bool, sub: int, sel_rows: int = 128,
 ):
     """Per-device blocked union scan using the single-chip Pallas group-min
     screen (block_scan._screen_rescore: scalar-prefetched supertile DMA +
@@ -108,7 +108,7 @@ def _local_blocked_scan_pallas(
     neg, oid, k_loc = _screen_rescore(
         q_perm, probed_p, supers, tb, corpus, bsq, corpus_f32, ids,
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
-        interpret=interpret, sub=sub,
+        interpret=interpret, sub=sub, sel_rows=sel_rows,
     )
     return _ici_merge(neg, oid, k_loc, fetch_k, k, axis, perm)
 
@@ -237,6 +237,8 @@ class ShardedQueryEngine:
         prober=None,
         local_impl: str = "auto",
         interpret: bool | None = None,
+        sel_rows: int | None = None,  # round-2 selection granularity (Pallas
+        # path; None → single-chip measured optimum: 32 bf16 / 64 f32)
     ):
         """`scan_dtype='bfloat16'` screens round 1 in bf16 (margin absorbs the
         rounding, round 2 rescans in exact f32 — single-chip block_scan
@@ -254,6 +256,9 @@ class ShardedQueryEngine:
         self.layout = layout
         self.tile = layout.tile
         self.scan_dtype = jnp.bfloat16 if str(scan_dtype) in ("bfloat16", "bf16") else jnp.float32
+        if sel_rows is None:
+            sel_rows = 32 if self.scan_dtype == jnp.bfloat16 else 64
+        self.sel_rows = sel_rows
         self.prober = prober
         if local_impl == "auto":
             local_impl = "pallas" if layout.tile == 128 else "gather"
@@ -395,7 +400,7 @@ class ShardedQueryEngine:
     # ---------- scan ----------
 
     def _scan_fn(self, fetch_k: int, kg: int, k: int, U: int, chunk: int, qb: int):
-        key = (self.local_impl, fetch_k, kg, k, U, chunk, qb)
+        key = (self.local_impl, fetch_k, kg, k, U, chunk, qb, self.sel_rows)
         if key not in self._scan_cache:
             precision = "default" if self.scan_dtype == jnp.bfloat16 else "highest"
             # bound the round-2 gather staging (sub, kg, tile, d) to ~256 MB
@@ -411,6 +416,7 @@ class ShardedQueryEngine:
                     _local_blocked_scan_pallas, fetch_k=fetch_k, kg=kg, k=k,
                     metric=self.metric, axis=self.axis, qb=qb,
                     precision=precision, interpret=self.interpret, sub=sub,
+                    sel_rows=self.sel_rows,
                 )
             else:
                 body = partial(
