@@ -55,28 +55,40 @@ def main():
 
     rng = np.random.default_rng(43)
     t0 = time.time()
-    if regime == "hard":
-        from lira_tpu.io.datasets import synthetic_dataset
-
-        b = synthetic_dataset(
-            n_base=n, n_query=n_q, dim=d, n_clusters=64, k_gt=k, seed=43,
-            compute_gt=False, intrinsic_dim=16, center_scale=1.0,
-            noise_scale=1.0, query_noise=0.35, ambient_noise=0.02,
-            name=f"syn{n // 1_000_000}m-hard",
-        )
-        x_d, x_q = b.base, b.query
+    # host-side Gaussian gen at 10M×128 costs ~45 min on this rig's single
+    # (slow) vCPU — cache corpus+queries+gt across runs, keyed by the shape
+    cache = f"/tmp/syn10m_cache_{regime}_{n}_{d}_{n_q}_{k}.npz"
+    if os.path.exists(cache):
+        f = np.load(cache)
+        x_d, x_q, gt = f["x_d"], f["x_q"], f["gt"]
+        print(f"[gen] corpus+gt from cache {cache} ({time.time() - t0:.1f}s)", flush=True)
     else:
-        x_d = gen_clustered(n, d, n_bkt, rng)
-        x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
-            (n_q, d), dtype=np.float32
-        ) * 10.0
-    print(f"[gen] {n:,}×{d} corpus + {n_q} queries, regime={regime} "
-          f"({time.time() - t0:.1f}s)", flush=True)
+        if regime == "hard":
+            from lira_tpu.io.datasets import synthetic_dataset
 
-    t0 = time.time()
-    _, gt = exact_knn(x_d, x_q, k)
-    print(f"[gt] exact {k}-NN of {n_q} queries vs {n:,} rows ({time.time() - t0:.1f}s)",
-          flush=True)
+            b = synthetic_dataset(
+                n_base=n, n_query=n_q, dim=d, n_clusters=64, k_gt=k, seed=43,
+                compute_gt=False, intrinsic_dim=16, center_scale=1.0,
+                noise_scale=1.0, query_noise=0.35, ambient_noise=0.02,
+                name=f"syn{n // 1_000_000}m-hard",
+            )
+            x_d, x_q = b.base, b.query
+        else:
+            x_d = gen_clustered(n, d, n_bkt, rng)
+            x_q = x_d[rng.integers(0, n, size=n_q)] + rng.standard_normal(
+                (n_q, d), dtype=np.float32
+            ) * 10.0
+        print(f"[gen] {n:,}×{d} corpus + {n_q} queries, regime={regime} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+        t0 = time.time()
+        _, gt = exact_knn(x_d, x_q, k)
+        print(f"[gt] exact {k}-NN of {n_q} queries vs {n:,} rows ({time.time() - t0:.1f}s)",
+              flush=True)
+        try:
+            np.savez(cache, x_d=x_d, x_q=x_q, gt=gt)
+        except OSError:
+            pass  # disk-full: run uncached
 
     bundle = DatasetBundle(name=f"syn{n // 1_000_000}m", base=x_d, query=x_q, groundtruth=gt)
     # lr 1e-3: in the 1%-subset / 2048-bucket regime the reference's 1e-4
