@@ -100,21 +100,54 @@ def main():
                  t_step=0.1).update()
     cfg.pth_log = None
 
-    t0 = time.time()
-    res = run_largescale(cfg, bundle=bundle, use_cache=False)
-    print(f"[pipeline] large-scale build+train+redundancy+sweeps ({time.time() - t0:.1f}s)",
-          flush=True)
-    layout = res["layout"]
+    # cache the pipeline's serving inputs so a killed run's serving sweep is
+    # repeatable without the ~80-min pipeline (this rig's 3 h ceiling bit once)
+    pcache = f"/tmp/syn10m_pipeline_{regime}_{n}_{n_bkt}_{n_epoch}.npz"
+    if os.path.exists(pcache):
+        import pickle
+
+        from lira_tpu.labels.scaler import StandardScaler
+        from lira_tpu.partition.assign import build_bucket_layout
+
+        f = np.load(pcache, allow_pickle=False)
+        t0 = time.time()
+        layout = build_bucket_layout(f["data_2_bkt"], n_bkt)
+        centroids, params = f["centroids"], pickle.loads(f["params"].tobytes())
+        scaler = StandardScaler()
+        scaler.mean_, scaler.scale_ = f["scaler_mean"], f["scaler_scale"]
+        print(f"[pipeline] serving inputs from cache {pcache} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+    else:
+        t0 = time.time()
+        res = run_largescale(cfg, bundle=bundle, use_cache=False)
+        print(f"[pipeline] large-scale build+train+redundancy+sweeps ({time.time() - t0:.1f}s)",
+              flush=True)
+        layout = res["layout"]
+        for part, rows in enumerate(res["sweep_parts"]):
+            for r in rows[:: max(1, len(rows) // 6)]:
+                print(f"[analytic part{part}] thr={r.threshold:.2f} recall={r.recall:.4f} "
+                      f"nprobe={r.nprobe:.1f} ndis={r.computations:.0f}", flush=True)
+        centroids = res["kmeans"].centroids
+        scaler = res["scaler"]
+        params = res["state"].params
+        try:
+            import pickle
+
+            params_np = jax.tree_util.tree_map(np.asarray, params)
+            np.savez(
+                pcache, data_2_bkt=res["data_2_bkt"], centroids=np.asarray(centroids),
+                scaler_mean=np.asarray(scaler.mean_),
+                scaler_scale=np.asarray(scaler.scale_),
+                params=np.frombuffer(pickle.dumps(params_np), dtype=np.uint8),
+            )
+        except OSError:
+            pass
     print(f"[layout] total rows {layout.total:,} (redundancy ×{layout.total / n:.3f})",
           flush=True)
-    for part, rows in enumerate(res["sweep_parts"]):
-        for r in rows[:: max(1, len(rows) // 6)]:
-            print(f"[analytic part{part}] thr={r.threshold:.2f} recall={r.recall:.4f} "
-                  f"nprobe={r.nprobe:.1f} ndis={r.computations:.0f}", flush=True)
 
     t0 = time.time()
     eng = QueryEngine(
-        x_d, layout, res["kmeans"].centroids, res["scaler"], res["state"].params,
+        x_d, layout, centroids, scaler, params,
         n_mul=cfg.n_mul, scan_impl="blocked", probe_cap=256,
     )
     print(f"[engine] blocked engine built ({time.time() - t0:.1f}s)", flush=True)
