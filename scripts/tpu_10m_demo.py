@@ -57,11 +57,12 @@ def main():
     t0 = time.time()
     # host-side Gaussian gen at 10M×128 costs ~45 min on this rig's single
     # (slow) vCPU — cache corpus+queries+gt across runs, keyed by the shape
-    cache = f"/tmp/syn10m_cache_{regime}_{n}_{d}_{n_q}_{k}.npz"
+    cache = f"/tmp/syn10m_corpus_{regime}_{n}_{d}_{n_q}.npz"
+    gt_cache = f"/tmp/syn10m_gt_{regime}_{n}_{d}_{n_q}_{k}.npy"
     if os.path.exists(cache):
         f = np.load(cache)
-        x_d, x_q, gt = f["x_d"], f["x_q"], f["gt"]
-        print(f"[gen] corpus+gt from cache {cache} ({time.time() - t0:.1f}s)", flush=True)
+        x_d, x_q = f["x_d"], f["x_q"]
+        print(f"[gen] corpus from cache {cache} ({time.time() - t0:.1f}s)", flush=True)
     else:
         if regime == "hard":
             from lira_tpu.io.datasets import synthetic_dataset
@@ -80,15 +81,25 @@ def main():
             ) * 10.0
         print(f"[gen] {n:,}×{d} corpus + {n_q} queries, regime={regime} "
               f"({time.time() - t0:.1f}s)", flush=True)
+        try:
+            # save BEFORE the gt pass: a TPU failure there must not cost the
+            # ~25-45 min of host RNG again
+            np.savez(cache, x_d=x_d, x_q=x_q)
+        except OSError:
+            pass  # disk-full: run uncached
 
+    if os.path.exists(gt_cache):
+        gt = np.load(gt_cache)
+        print(f"[gt] from cache {gt_cache}", flush=True)
+    else:
         t0 = time.time()
         _, gt = exact_knn(x_d, x_q, k)
         print(f"[gt] exact {k}-NN of {n_q} queries vs {n:,} rows ({time.time() - t0:.1f}s)",
               flush=True)
         try:
-            np.savez(cache, x_d=x_d, x_q=x_q, gt=gt)
+            np.save(gt_cache, gt)
         except OSError:
-            pass  # disk-full: run uncached
+            pass
 
     bundle = DatasetBundle(name=f"syn{n // 1_000_000}m", base=x_d, query=x_q, groundtruth=gt)
     # lr 1e-3: in the 1%-subset / 2048-bucket regime the reference's 1e-4
