@@ -111,3 +111,26 @@ def test_predict_counts_matches_infer(rng):
     predicts, _ = infer(state, dist, vec, sigma=0.5)
     counts = predict_counts(state, dist, vec, sigma=0.5, chunk=32)
     np.testing.assert_array_equal(counts, predicts.sum(axis=1).astype(np.int32))
+
+
+def test_predict_counts_and_subset_infer_on_device_arrays(rng):
+    """smallscale promotes features to jax arrays on TPU; predict_counts and
+    the selected-rows fancy-index gather must work on them too."""
+    import jax.numpy as jnp
+
+    from lira_tpu.models.train import predict_counts
+
+    n, n_bkt, dim = 64, 4, 8
+    state = make_train_state(seed=7, n_bkt=n_bkt, dim=dim)
+    dist = rng.normal(size=(n, n_bkt)).astype(np.float32)
+    vec = rng.normal(size=(n, dim)).astype(np.float32)
+    dist_dev, vec_dev = jnp.asarray(dist), jnp.asarray(vec)
+    counts_dev = predict_counts(state, dist_dev, vec_dev, chunk=16)
+    counts_np = predict_counts(state, dist, vec, chunk=16)
+    np.testing.assert_array_equal(counts_dev, counts_np)
+
+    sel = np.sort(np.argsort(-counts_np, kind="stable")[: n // 4])
+    p_dev, s_dev = infer(state, dist_dev[sel], vec_dev[sel])
+    p_np, s_np = infer(state, dist[sel], vec[sel])
+    np.testing.assert_array_equal(p_dev, p_np)
+    np.testing.assert_allclose(s_dev, s_np, rtol=1e-6)
