@@ -368,6 +368,18 @@ def _scan_all(
 # ---------------------------------------------------------------------------
 
 
+def _align_ids(padded_ids, n_rows: int, tile: int):
+    """Supertile-align the id vector: returns (ids (rows_total,), n_super,
+    pad_rows added)."""
+    n_tiles = n_rows // tile
+    n_super = max(1, -(-n_tiles // S_TILES))
+    pad_rows = n_super * S_TILES * tile - n_rows
+    ids = np.asarray(padded_ids, np.int32)
+    if pad_rows:
+        ids = np.concatenate([ids, np.full(pad_rows, -1, np.int32)])
+    return ids, n_super, pad_rows
+
+
 class BlockScanState:
     """Device-resident round-1/round-2 corpus views for the blocked scan.
 
@@ -380,18 +392,70 @@ class BlockScanState:
         """padded_host: (padded_total, d) f32 host array (layout.gather_vectors);
         padded_ids: (padded_total,) int32 global ids, -1 = padding."""
         n_rows, d = padded_host.shape
-        n_tiles = n_rows // tile
-        n_super = max(1, -(-n_tiles // S_TILES))
-        pad_rows = n_super * S_TILES * tile - n_rows
-
-        ids = np.asarray(padded_ids, np.int32)
+        ids, n_super, pad_rows = _align_ids(padded_ids, n_rows, tile)
         if pad_rows:
             padded_host = np.concatenate(
                 [padded_host, np.zeros((pad_rows, d), np.float32)]
             )
-            ids = np.concatenate([ids, np.full(pad_rows, -1, np.int32)])
+        self._finish(
+            jnp.asarray(padded_host, jnp.float32), ids, tile_bucket, metric,
+            scan_dtype, tile, n_super,
+        )
 
-        self.corpus_flat_f32 = jnp.asarray(padded_host, jnp.float32)
+    @classmethod
+    def from_corpus(
+        cls,
+        x_d: np.ndarray,  # (n, d) raw corpus, host
+        padded_ids: np.ndarray,  # (padded_total,) i32 global ids, -1 = pad
+        tile_bucket,
+        metric: str,
+        scan_dtype,
+        tile: int = 128,
+        chunk_rows: int = 1 << 21,
+    ) -> "BlockScanState":
+        """Build the padded table ON DEVICE from the raw corpus.
+
+        `layout.gather_vectors` + upload moves padded_total·d·4 bytes host→
+        device — with learning-based redundancy that is up to n_mul× the
+        corpus (×1.95 measured at 10M on the hard regime) plus a full-size
+        host temporary.  This constructor uploads the raw corpus once in
+        dense chunks and scatters each chunk's rows to their (possibly
+        multiple) padded positions on device: bytes = n·d·4 + O(padded)
+        index ints, host staging = one chunk, device peak = padded table +
+        one gathered chunk."""
+        self = cls.__new__(cls)
+        x_d = np.asarray(x_d)
+        n, d = x_d.shape
+        ids, n_super, _ = _align_ids(padded_ids, len(padded_ids), tile)
+        rows_total = n_super * S_TILES * tile
+
+        order = np.argsort(ids, kind="stable")
+        first = np.searchsorted(ids[order], 0, side="left")
+        sorted_pos = order[first:].astype(np.int32)  # padded positions by source id
+        sorted_src = ids[order][first:]
+
+        scatter = jax.jit(
+            lambda o, pos, vals, src: o.at[pos].set(vals[src]),
+            donate_argnums=(0,),
+        )
+        out = jnp.zeros((rows_total, d), jnp.float32)
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            lo = int(np.searchsorted(sorted_src, s, side="left"))
+            hi = int(np.searchsorted(sorted_src, e, side="left"))
+            if lo == hi:
+                continue
+            out = scatter(
+                out,
+                jnp.asarray(sorted_pos[lo:hi]),
+                jnp.asarray(np.ascontiguousarray(x_d[s:e], np.float32)),
+                jnp.asarray((sorted_src[lo:hi] - s).astype(np.int32)),
+            )
+        self._finish(out, ids, tile_bucket, metric, scan_dtype, tile, n_super)
+        return self
+
+    def _finish(self, corpus_flat_f32, ids, tile_bucket, metric, scan_dtype, tile, n_super):
+        self.corpus_flat_f32 = corpus_flat_f32
         if scan_dtype == jnp.bfloat16:
             self.corpus_flat = self.corpus_flat_f32.astype(jnp.bfloat16)
         else:

@@ -196,20 +196,14 @@ class QueryEngine:
             tile_bucket = np.repeat(
                 np.arange(layout.n_bkt, dtype=np.int32), self.tiles_per_bucket
             )
-            # gather straight into a supertile-aligned buffer: avoids
-            # BlockScanState re-padding with a full-corpus concat copy
-            # (a second ~10 GB host temporary at 10M rows with redundancy)
-            n_tiles = len(layout.padded_ids) // self.tile
-            target_rows = max(1, -(-n_tiles // S_TILES)) * S_TILES * self.tile
-            padded = np.zeros((target_rows, dim), np.float32)
-            ids_a = np.full(target_rows, -1, np.int32)
-            ids_a[: len(layout.padded_ids)] = layout.padded_ids
-            valid = ids_a >= 0
-            padded[valid] = x_d[ids_a[valid]]
-            self._block_state = BlockScanState(
-                padded, ids_a, tile_bucket, metric, self.scan_dtype, tile=self.tile
+            # device-side scatter construction: uploads the RAW corpus once
+            # in dense chunks instead of the padded table (up to n_mul× the
+            # corpus with redundancy — ×1.95 measured at 10M hard-regime)
+            # and stages no full-size host temporary
+            self._block_state = BlockScanState.from_corpus(
+                x_d, layout.padded_ids, tile_bucket, metric, self.scan_dtype,
+                tile=self.tile,
             )
-            del padded
             self.corpus = None  # per-query scan corpora not materialized
             self.corpus_ids = self.corpus_sq = None
         else:

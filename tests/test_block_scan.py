@@ -147,3 +147,39 @@ def test_blocked_subtile_bf16(rng):
     r2 = e_blk.search(x_q, 0.4, k=5)
     for i in range(len(x_q)):
         assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), i
+
+
+def test_from_corpus_matches_host_construction():
+    """Streamed device-scatter construction must produce identical state to
+    the host padded-table path, including duplicated (redundancy) rows."""
+    import jax.numpy as jnp
+
+    from lira_tpu.engine.block_scan import BlockScanState
+    from lira_tpu.partition.assign import build_bucket_layout
+
+    rng = np.random.default_rng(11)
+    n, d, n_bkt, tile = 900, 16, 6, 128
+    x_d = rng.normal(size=(n, d)).astype(np.float32)
+    d2b = np.full((n, 2), -1, np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    dup = rng.choice(n, size=200, replace=False)  # duplicated rows
+    d2b[dup, 1] = (d2b[dup, 0] + 1) % n_bkt
+    layout = build_bucket_layout(d2b, n_bkt, tile=tile)
+    tile_bucket = np.repeat(
+        np.arange(n_bkt, dtype=np.int32), layout.padded_sizes // tile
+    )
+
+    host = BlockScanState(
+        layout.gather_vectors(x_d), layout.padded_ids, tile_bucket, "L2",
+        jnp.float32, tile=tile,
+    )
+    dev = BlockScanState.from_corpus(
+        x_d, layout.padded_ids, tile_bucket, "L2", jnp.float32, tile=tile,
+        chunk_rows=256,  # force several scatter chunks
+    )
+    np.testing.assert_array_equal(np.asarray(host.tiles_ids), np.asarray(dev.tiles_ids))
+    np.testing.assert_array_equal(
+        np.asarray(host.corpus_flat_f32), np.asarray(dev.corpus_flat_f32)
+    )
+    np.testing.assert_allclose(np.asarray(host.bsq), np.asarray(dev.bsq))
+    np.testing.assert_array_equal(host.tile_bucket, dev.tile_bucket)
