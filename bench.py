@@ -79,21 +79,27 @@ def serving_bench():
         n, d, n_bkt, k, batch, n_gt, n_epoch = 1_000_000, 128, 1024, 10, 65536, 4096, 6
     t0 = time.perf_counter()
     # this rig's vCPU generates Gaussians at ~1 M/s — cache the corpus
-    # across runs (the generator is deterministic in these parameters)
-    cache = f"/tmp/bench_corpus_{n}_{d}_{batch}.npz"
+    # across runs.  The generator parameters are part of the cache key so a
+    # future regime retune can never silently reuse a stale corpus; writes
+    # are tmp+rename so a mid-save kill can't leave a truncated .npz that
+    # bricks the os.path.exists branch of every later run.
+    gen = dict(n_base=n, n_query=batch, dim=d, n_clusters=64, k_gt=k, seed=43,
+               compute_gt=False, intrinsic_dim=min(16, d), center_scale=1.0,
+               noise_scale=1.0, query_noise=0.35, ambient_noise=0.02)
+    sig = "_".join(f"{gen[p]}" for p in ("n_clusters", "seed", "intrinsic_dim",
+                                         "center_scale", "noise_scale",
+                                         "query_noise", "ambient_noise"))
+    cache = f"/tmp/bench_corpus_{n}_{d}_{batch}_{sig}.npz"
     if os.path.exists(cache):
         f = np.load(cache)
         x_d, x_q = f["x_d"], f["x_q"]
         log(f"hard-regime corpus from cache ({time.perf_counter() - t0:.1f}s)")
     else:
-        b = synthetic_dataset(
-            n_base=n, n_query=batch, dim=d, n_clusters=64, k_gt=k, seed=43,
-            compute_gt=False, intrinsic_dim=min(16, d), center_scale=1.0,
-            noise_scale=1.0, query_noise=0.35, ambient_noise=0.02, name="bench",
-        )
+        b = synthetic_dataset(**gen, name="bench")
         x_d, x_q = b.base, b.query
         try:
-            np.savez(cache, x_d=x_d, x_q=x_q)
+            np.savez(cache + ".tmp.npz", x_d=x_d, x_q=x_q)
+            os.replace(cache + ".tmp.npz", cache)
         except OSError:
             pass
         log(f"hard-regime corpus ready ({time.perf_counter() - t0:.1f}s)")

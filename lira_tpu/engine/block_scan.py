@@ -548,14 +548,28 @@ def blocked_search(
         if timing:
             marks.append((name, _time.perf_counter()))
 
+    if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
+        raise ValueError(
+            f"sel_rows={sel_rows}: must be a divisor of the 128-row tile "
+            "(the round-1 kernel emits per-group minima over sublane slices)"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if margin is None:
-        # bf16 margin 8 = 2x the smallest zero-miss margin measured at 1M x 128
-        # (docs/bf16_screen.md: knn_fused misses vanish at 4, serving at 0).
-        # bf16 group-min rounding is data-dependent: re-validate on new
-        # distributions (scripts/bf16_margin_sweep.py) or raise `margin`.
-        margin = 8
+        # margin 8 = 2x the smallest zero-miss bf16 margin measured at 1M x 128
+        # with 128-row tiles (docs/bf16_screen.md: knn_fused misses vanish at
+        # 4, serving at 0).  The margin is counted in SELECTION GROUPS: at
+        # sel_rows < 128 there are 128/sel_rows x more group-mins competing
+        # inside the same bf16 rounding band, so scale the bf16 default to
+        # keep the margin's row coverage (8*128 rows) constant.  f32 group
+        # mins are exact — the margin only absorbs score ties there, which is
+        # granularity-independent.  bf16 rounding is data-dependent:
+        # re-validate on new distributions (scripts/bf16_margin_sweep.py) or
+        # raise `margin`.
+        if state.scan_dtype == jnp.bfloat16:
+            margin = 8 * (128 // sel_rows)
+        else:
+            margin = 8
     precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
     B, d = np.asarray(queries).shape
     qb = max(8, min(block_q, _pow2ceil(B)))

@@ -177,6 +177,8 @@ class QueryEngine:
         self.block_margin = block_margin
         if block_sel_rows is None:
             block_sel_rows = 32 if self.scan_dtype == jnp.bfloat16 else 64
+        if not (0 < block_sel_rows <= 128 and 128 % block_sel_rows == 0):
+            raise ValueError(f"block_sel_rows={block_sel_rows}: must be a divisor of 128")
         self.block_sel_rows = block_sel_rows
         self.prober = prober  # e.g. engine.ivf_baseline.ivf_probe_matrix for
         # the measured LIRA-vs-IVF comparison on an identical layout

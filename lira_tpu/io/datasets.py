@@ -134,14 +134,16 @@ def synthetic_dataset(
         np.float32
     )
 
-    if intrinsic_dim is not None and d_gen != dim:
-        # fixed orthonormal embedding (QR of a seeded Gaussian): preserves all
-        # pairwise L2 distances, so ground truth computed post-embedding equals
-        # latent-space ground truth up to ambient noise
-        proj, _ = np.linalg.qr(rng.normal(size=(dim, d_gen)))
-        proj = proj.astype(np.float32)
-        base = base @ proj.T
-        query = query @ proj.T
+    if intrinsic_dim is not None:
+        if d_gen != dim:
+            # fixed orthonormal embedding (QR of a seeded Gaussian): preserves
+            # all pairwise L2 distances, so ground truth computed
+            # post-embedding equals latent-space ground truth up to ambient
+            # noise (intrinsic_dim == dim: identity embedding, noise only)
+            proj, _ = np.linalg.qr(rng.normal(size=(dim, d_gen)))
+            proj = proj.astype(np.float32)
+            base = base @ proj.T
+            query = query @ proj.T
         if ambient_noise > 0.0:
             base += rng.normal(scale=ambient_noise, size=(n_base, dim)).astype(np.float32)
             query += rng.normal(scale=ambient_noise, size=(n_query, dim)).astype(np.float32)

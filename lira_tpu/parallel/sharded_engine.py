@@ -232,7 +232,7 @@ class ShardedQueryEngine:
         n_mul: int = 2,
         probe_cap: int | None = None,
         block_q: int = 1024,
-        margin: int = 8,
+        margin: int | None = None,
         scan_dtype: str = "float32",
         prober=None,
         local_impl: str = "auto",
@@ -252,12 +252,13 @@ class ShardedQueryEngine:
         self.n_mul = max(1, n_mul)
         self.probe_cap = probe_cap
         self.block_q = block_q
-        self.margin = margin
         self.layout = layout
         self.tile = layout.tile
         self.scan_dtype = jnp.bfloat16 if str(scan_dtype) in ("bfloat16", "bf16") else jnp.float32
         if sel_rows is None:
             sel_rows = 32 if self.scan_dtype == jnp.bfloat16 else 64
+        if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
+            raise ValueError(f"sel_rows={sel_rows}: must be a divisor of 128")
         self.sel_rows = sel_rows
         self.prober = prober
         if local_impl == "auto":
@@ -265,6 +266,16 @@ class ShardedQueryEngine:
         if local_impl == "pallas" and layout.tile != 128:
             raise ValueError("local_impl='pallas' needs a 128-row tile layout")
         self.local_impl = local_impl
+        if margin is None:
+            # blocked_search margin semantics: counted in selection groups, so
+            # the bf16 default scales with granularity to keep row coverage
+            # constant (the gather path selects whole tiles — sel_rows only
+            # shrinks groups on the Pallas path)
+            if self.scan_dtype == jnp.bfloat16 and local_impl == "pallas":
+                margin = 8 * (128 // sel_rows)
+            else:
+                margin = 8
+        self.margin = margin
         self.interpret = (jax.default_backend() != "tpu") if interpret is None else interpret
         n_dev = mesh.devices.size
         x_d = np.asarray(x_d, dtype=np.float32)

@@ -144,14 +144,21 @@ def full_corpus_redundancy(
     budget_rows = max(1 << 14, (1 << 32) // (max(n_bkt, 1) * 8))
     batch_rows = min(cfg.redundancy_batch, budget_rows)
     cursor = 0
-    if ckpt is not None and ckpt.has("redundancy.npz"):
-        f = ckpt.load("redundancy.npz")
+    if ckpt is not None and ckpt.has("redundancy_cursor.npz"):
+        f = ckpt.load("redundancy_cursor.npz")
         # the saved cursor is only valid at this run's batch boundaries:
         # a completed batch overwrites slot 0, so re-running a *partially*
         # restored batch would feed modified native buckets back into the rule
         if int(f["batch_rows"]) == batch_rows:
             cursor = int(f["cursor"])
-            out[:cursor] = f["rows"][:cursor]
+            # completed batches live in per-batch slice files: checkpoint
+            # write volume is O(n) total, not O(n_batches * n) — at the
+            # 100M+ scales this pipeline targets, rewriting the full rows
+            # array every batch would dominate the stage it protects
+            for s in range(0, cursor, batch_rows):
+                out[s : min(s + batch_rows, n_d)] = ckpt.load(
+                    f"redundancy_rows_{s}.npz"
+                )["rows"]
     for s in range(0, n_d, batch_rows):
         e = min(s + batch_rows, n_d)
         if e <= cursor:  # batch finished by the run we resumed from
@@ -165,9 +172,10 @@ def full_corpus_redundancy(
             )
         )
         if ckpt is not None:
+            ckpt.save(f"redundancy_rows_{s}.npz", rows=out[s:e])
             ckpt.save(
-                "redundancy.npz",
-                cursor=np.int64(e), rows=out, batch_rows=np.int64(batch_rows),
+                "redundancy_cursor.npz",
+                cursor=np.int64(e), batch_rows=np.int64(batch_rows),
             )
     return out
 

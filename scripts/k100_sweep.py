@@ -37,11 +37,20 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
-    k, dim, n_epoch = 100, 128, 10
+    k, dim = 100, 128
 
-    cache = f"/tmp/lvi_hard_{n}_{n_bkt}_{n_epoch}.npz"
-    if not os.path.exists(cache):
-        raise SystemExit(f"{cache} missing — run scripts/lira_vs_ivf.py first")
+    # pick up whatever epoch count lira_vs_ivf.py was run with (its default
+    # is 8; the round-3 measured runs used 10)
+    import glob
+
+    candidates = sorted(glob.glob(f"/tmp/lvi_hard_{n}_{n_bkt}_*.npz"))
+    if not candidates:
+        raise SystemExit(
+            f"/tmp/lvi_hard_{n}_{n_bkt}_*.npz missing — run "
+            f"`python scripts/lira_vs_ivf.py {n} {n_bkt}` first"
+        )
+    cache = candidates[-1]
+    print(f"pipeline state from {cache}", flush=True)
     f = np.load(cache)
     km = KMeans(centroids=f["centroids"], objective=f["objective"])
     scaler = StandardScaler()

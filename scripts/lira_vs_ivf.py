@@ -129,7 +129,8 @@ def main():
         for layer in state.params:
             for name in state.params[layer]:
                 flat[f"p/{layer}/{name}"] = np.asarray(state.params[layer][name])
-        np.savez(cache, **flat)
+        np.savez(cache + ".tmp.npz", **flat)
+        os.replace(cache + ".tmp.npz", cache)
         print(f"pipeline trained ({time.time() - t0:.1f}s); state cached", flush=True)
     layout0 = build_bucket_layout(d2b0, n_bkt)
 

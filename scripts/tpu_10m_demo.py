@@ -59,11 +59,21 @@ def main():
     # (slow) vCPU — cache corpus+queries+gt across runs, keyed by the shape
     cache = f"/tmp/syn10m_corpus_{regime}_{n}_{d}_{n_q}.npz"
     gt_cache = f"/tmp/syn10m_gt_{regime}_{n}_{d}_{n_q}_{k}.npy"
+    # generator parameters of the hard regime: stored in the cache and
+    # verified on load so a future retune regenerates instead of silently
+    # serving the old distribution (legacy caches without the field were
+    # written with exactly these values)
+    gen_sig = "nc64_s43_id16_cs1.0_ns1.0_qn0.35_an0.02" if regime == "hard" else "easy"
+    x_d = None
     if os.path.exists(cache):
         f = np.load(cache)
-        x_d, x_q = f["x_d"], f["x_q"]
-        print(f"[gen] corpus from cache {cache} ({time.time() - t0:.1f}s)", flush=True)
-    else:
+        if "gen_sig" in f and str(f["gen_sig"]) != gen_sig:
+            print(f"[gen] cache {cache} is for gen_sig={f['gen_sig']}, "
+                  f"want {gen_sig} — regenerating", flush=True)
+        else:
+            x_d, x_q = f["x_d"], f["x_q"]
+            print(f"[gen] corpus from cache {cache} ({time.time() - t0:.1f}s)", flush=True)
+    if x_d is None:
         if regime == "hard":
             from lira_tpu.io.datasets import synthetic_dataset
 
@@ -83,8 +93,11 @@ def main():
               f"({time.time() - t0:.1f}s)", flush=True)
         try:
             # save BEFORE the gt pass: a TPU failure there must not cost the
-            # ~25-45 min of host RNG again
-            np.savez(cache, x_d=x_d, x_q=x_q)
+            # ~25-45 min of host RNG again.  tmp+rename: a kill mid-save (the
+            # rig's 3 h ceiling) must not leave a truncated .npz that every
+            # later run crashes loading.
+            np.savez(cache + ".tmp.npz", x_d=x_d, x_q=x_q, gen_sig=gen_sig)
+            os.replace(cache + ".tmp.npz", cache)
         except OSError:
             pass  # disk-full: run uncached
 
@@ -97,7 +110,8 @@ def main():
         print(f"[gt] exact {k}-NN of {n_q} queries vs {n:,} rows ({time.time() - t0:.1f}s)",
               flush=True)
         try:
-            np.save(gt_cache, gt)
+            np.save(gt_cache + ".tmp.npy", gt)
+            os.replace(gt_cache + ".tmp.npy", gt_cache)
         except OSError:
             pass
 
@@ -146,11 +160,13 @@ def main():
 
             params_np = jax.tree_util.tree_map(np.asarray, params)
             np.savez(
-                pcache, data_2_bkt=res["data_2_bkt"], centroids=np.asarray(centroids),
+                pcache + ".tmp.npz",
+                data_2_bkt=res["data_2_bkt"], centroids=np.asarray(centroids),
                 scaler_mean=np.asarray(scaler.mean_),
                 scaler_scale=np.asarray(scaler.scale_),
                 params=np.frombuffer(pickle.dumps(params_np), dtype=np.uint8),
             )
+            os.replace(pcache + ".tmp.npz", pcache)
         except OSError:
             pass
     print(f"[layout] total rows {layout.total:,} (redundancy ×{layout.total / n:.3f})",

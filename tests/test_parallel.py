@@ -286,7 +286,10 @@ def test_sharded_union_build_is_fast_at_scale():
     sel, tb, U, chunk = eng._block_unions(union)
     supers, tbs = eng._super_unions(sel)
     dt = _t.perf_counter() - t0
-    assert dt < 2.0, f"union build took {dt:.2f}s"
+    # generous bound: the old double loop took minutes at this shape, the
+    # vectorized build takes ~20 ms — 20 s still catches an O(n_dev*n_blocks)
+    # regression without flaking on a contended single-vCPU runner
+    assert dt < 20.0, f"union build took {dt:.2f}s"
     # spot-check correctness of one (device, block) row against a direct build
     d, i = 3, 7
     owned = np.nonzero((eng.local_tile_count[d] > 0) & union[i])[0]
