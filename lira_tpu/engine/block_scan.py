@@ -519,6 +519,40 @@ def build_block_unions(
     return supers, tb
 
 
+def _resolve_margin(margin, scan_dtype, sel_rows: int) -> int:
+    """Default selection margin, validated against the kernel's tile shape.
+
+    margin 8 = 2x the smallest zero-miss bf16 margin measured at 1M x 128
+    with 128-row tiles (docs/bf16_screen.md: knn_fused misses vanish at 4,
+    serving at 0).  The margin is counted in SELECTION GROUPS: at
+    sel_rows < 128 there are 128/sel_rows x more group-mins competing
+    inside the same bf16 rounding band, so the bf16 default scales to keep
+    the margin's row coverage (8*128 rows) constant.  f32 group mins are
+    exact — the margin only absorbs score ties there, which is
+    granularity-independent.  bf16 rounding is data-dependent: re-validate
+    on new distributions (scripts/bf16_margin_sweep.py) or raise `margin`."""
+    if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
+        raise ValueError(
+            f"sel_rows={sel_rows}: must be a divisor of the 128-row tile "
+            "(the round-1 kernel emits per-group minima over sublane slices)"
+        )
+    if margin is None:
+        margin = 8 * (128 // sel_rows) if scan_dtype == jnp.bfloat16 else 8
+    return margin
+
+
+def _round2_sub(kg: int, sel_rows: int, d: int, qb: int) -> int:
+    """Query sub-batch for the round-2 rescore: the gather stages
+    (sub, kg, sel_rows, d) f32 — bound it to ~256 MB (at the reference's
+    large-scale default k=100, kg is 208+ groups and sub=64 would stage
+    ~870 MB at d=128 alongside the corpus)."""
+    budget = (256 << 20) // max(kg * sel_rows * d * 4, 1)
+    sub = 64
+    while sub > 8 and sub > budget:
+        sub //= 2
+    return min(sub, qb)
+
+
 def blocked_search(
     state: BlockScanState,
     engine,  # QueryEngine — probing params + tile geometry
@@ -548,28 +582,9 @@ def blocked_search(
         if timing:
             marks.append((name, _time.perf_counter()))
 
-    if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
-        raise ValueError(
-            f"sel_rows={sel_rows}: must be a divisor of the 128-row tile "
-            "(the round-1 kernel emits per-group minima over sublane slices)"
-        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if margin is None:
-        # margin 8 = 2x the smallest zero-miss bf16 margin measured at 1M x 128
-        # with 128-row tiles (docs/bf16_screen.md: knn_fused misses vanish at
-        # 4, serving at 0).  The margin is counted in SELECTION GROUPS: at
-        # sel_rows < 128 there are 128/sel_rows x more group-mins competing
-        # inside the same bf16 rounding band, so scale the bf16 default to
-        # keep the margin's row coverage (8*128 rows) constant.  f32 group
-        # mins are exact — the margin only absorbs score ties there, which is
-        # granularity-independent.  bf16 rounding is data-dependent:
-        # re-validate on new distributions (scripts/bf16_margin_sweep.py) or
-        # raise `margin`.
-        if state.scan_dtype == jnp.bfloat16:
-            margin = 8 * (128 // sel_rows)
-        else:
-            margin = 8
+    margin = _resolve_margin(margin, state.scan_dtype, sel_rows)
     precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
     B, d = np.asarray(queries).shape
     qb = max(8, min(block_q, _pow2ceil(B)))
@@ -616,14 +631,7 @@ def blocked_search(
     )
     mark("host_unions")
     kg = fetch_k + margin
-    # round-2 rescore gathers (sub, kg, sel_rows, d) f32 per query sub-batch;
-    # at the reference's large-scale default k=100 (fetch_k 200, kg 208) the
-    # default sub=64 would stage ~870 MB at d=128 — bound it to ~256 MB
-    budget = (256 << 20) // max(kg * sel_rows * d * 4, 1)
-    sub = 64
-    while sub > 8 and sub > budget:
-        sub //= 2
-    sub = min(sub, qb)
+    sub = _round2_sub(kg, sel_rows, d, qb)
     scores, ids = _scan_all(
         q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
         state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
@@ -644,3 +652,122 @@ def blocked_search(
         )
         print(f"[blocked_search B={B} U={supers.shape}] {parts}", flush=True)
     return out
+
+
+def blocked_search_stream(
+    state: BlockScanState,
+    engine,
+    queries: np.ndarray,  # (B_total, d) f32 — split into batches internally
+    threshold: float,
+    fetch_k: int,
+    k: int,
+    batch_size: int = 65536,
+    block_q: int = 256,
+    margin: int | None = None,
+    interpret: bool | None = None,
+    sel_rows: int = 128,
+):
+    """Pipelined multi-batch blocked search (same results as per-batch
+    `blocked_search`, concatenated).
+
+    `blocked_search` alternates host and device work: fetch the probe's
+    union masks, build supertile unions on the host, dispatch the scan,
+    fetch results — the device idles through every host round trip
+    (measured ~0.2 s/batch of probe+union sync on a tunneled host,
+    docs/serving_design.md phase breakdown).  This driver keeps TWO batches
+    in flight: batch i+1's probe program is dispatched right after batch
+    i's scan, so it runs on device while the host is still waiting on /
+    processing batch i — by the time the host needs batch i+1's unions they
+    are already computed, and batch i's results are fetched last, after
+    both of batch i+1's programs are queued.  Device programs stay
+    identical to the sequential path; only the dispatch order changes, so
+    exactness is preserved batch by batch.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    margin = _resolve_margin(margin, state.scan_dtype, sel_rows)
+    precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
+    queries = np.asarray(queries, np.float32)
+    B_total, d = queries.shape
+    n_bkt = engine.layout.n_bkt
+    kg = fetch_k + margin
+    starts = list(range(0, B_total, batch_size))
+
+    def dispatch_probe(qs: np.ndarray) -> dict:
+        """Upload one batch + launch its probe program (async)."""
+        B = len(qs)
+        qb = max(8, min(block_q, _pow2ceil(B)))
+        B_pad = -(-B // qb) * qb
+        q_pad = np.zeros((B_pad, d), np.float32)
+        q_pad[:B] = qs
+        q_dev = jnp.asarray(q_pad)
+        if engine.prober is not None:
+            outputs = np.asarray(engine.prober(qs))
+            probed_h = engine.select_buckets(outputs, threshold)
+            if B_pad > B:
+                probed_h = np.concatenate(
+                    [probed_h, np.zeros((B_pad - B, n_bkt), bool)], axis=0
+                )
+            top1 = np.concatenate([outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)])
+            probed = jnp.asarray(probed_h)
+            perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
+            nprobe = probed_h[:B].sum(axis=1)
+            ndis = probed_h[:B] @ engine.sizes.astype(np.int64)
+        else:
+            m = min(engine.probe_cap or n_bkt, n_bkt)
+            probed, perm, union, nprobe, ndis = _probe_prepare(
+                engine.params, engine.centroids, engine.scaler_mean,
+                engine.scaler_scale, q_dev, jnp.asarray(engine.sizes, jnp.int32),
+                jnp.int32(B), jnp.float32(threshold), m, qb,
+            )
+        return dict(q=q_dev, probed=probed, perm=perm, union=union,
+                    nprobe=nprobe, ndis=ndis, B=B, qb=qb)
+
+    def dispatch_scan(h: dict):
+        """Host union build + launch the batch's scan program (async).
+        Blocks only on the (tiny) union mask transfer."""
+        union = np.asarray(h["union"])
+        supers, tb = build_block_unions(
+            union, engine.tile_start, engine.tiles_per_bucket, state.tile_bucket
+        )
+        sub = _round2_sub(kg, sel_rows, d, h["qb"])
+        return _scan_all(
+            h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
+            state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
+            metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=h["qb"],
+            precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
+        )
+
+    out_scores, out_ids, out_np, out_nd = [], [], [], []
+
+    def collect(h, scan_out):
+        B = h["B"]
+        scores, ids = scan_out
+        out_scores.append(np.asarray(scores[:B]))
+        out_ids.append(np.asarray(ids[:B]))
+        out_np.append(np.asarray(h["nprobe"])[:B].astype(np.int64))
+        out_nd.append(np.asarray(h["ndis"])[:B].astype(np.int64))
+
+    # dispatch order: probe_0, probe_1, scan_0, probe_2, scan_1, ... —
+    # probe_{i+1} goes out BEFORE the host blocks on batch i's union masks,
+    # so while the host builds unions (~20 ms) and re-dispatches, the device
+    # is running probe_{i+1} / the previous scan instead of idling
+    prev = None  # (handle, scan_out) of the batch whose results are unfetched
+    h_cur = dispatch_probe(queries[starts[0] : starts[0] + batch_size])
+    for i, s in enumerate(starts):
+        h_next = (
+            dispatch_probe(queries[starts[i + 1] : starts[i + 1] + batch_size])
+            if i + 1 < len(starts) else None
+        )
+        scan_out = dispatch_scan(h_cur)
+        if prev is not None:
+            collect(*prev)  # device is already past it — pure D2H transfer
+        prev = (h_cur, scan_out)
+        h_cur = h_next
+    collect(*prev)
+    return (
+        np.concatenate(out_scores),
+        np.concatenate(out_ids),
+        np.concatenate(out_np),
+        np.concatenate(out_nd),
+    )

@@ -351,6 +351,48 @@ class QueryEngine:
             )
 
         q = jnp.asarray(queries)
+        return self._search_unblocked(q, queries, threshold, k, t0)
+
+    def search_stream(
+        self, queries: np.ndarray, threshold: float, k: int,
+        batch_size: int = 65536,
+    ) -> SearchResult:
+        """Sustained-throughput search over a large query set: splits into
+        `batch_size` batches and PIPELINES them — batch i+1's probe program
+        and the host-side union build run while batch i's scan occupies the
+        device, hiding the per-batch host round trips the phase profile
+        shows (~0.2 s/batch on a tunneled host; block_scan.py::
+        blocked_search_stream).  Results are identical to per-batch
+        `search` calls concatenated (same device programs, different
+        dispatch order).  Non-blocked scan impls fall back to sequential
+        per-batch search."""
+        t0 = time.perf_counter()
+        queries = np.asarray(queries, np.float32)
+        if self.scan_impl == "blocked":
+            from .block_scan import blocked_search_stream
+
+            scores, ids, nprobe, ndis = blocked_search_stream(
+                self._block_state, self, queries, threshold, k * self.n_mul, k,
+                batch_size=batch_size, block_q=self.block_q,
+                margin=self.block_margin, sel_rows=self.block_sel_rows,
+            )
+            return SearchResult(
+                ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
+                elapsed=time.perf_counter() - t0,
+            )
+        parts = [
+            self.search(queries[s : s + batch_size], threshold, k)
+            for s in range(0, len(queries), batch_size)
+        ]
+        return SearchResult(
+            ids=np.concatenate([p.ids for p in parts]),
+            scores=np.concatenate([p.scores for p in parts]),
+            nprobe=np.concatenate([p.nprobe for p in parts]),
+            ndis=np.concatenate([p.ndis for p in parts]),
+            elapsed=time.perf_counter() - t0,
+        )
+
+    def _search_unblocked(self, q, queries, threshold, k, t0):
         probed, top1 = self._select_probed(q, threshold)
         tiles = self._probe_tiles(probed)
         # scan with n_mul × k slots so replicas can be deduplicated to k

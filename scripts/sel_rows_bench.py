@@ -58,12 +58,23 @@ def main():
     _, oracle = exact_knn(b.base, b.query[:128], k)
     print(f"index ready ({time.time() - t0:.0f}s)", flush=True)
 
-    for dtype in ("float32", "bfloat16"):
-        for sel_rows in (128, 64, 32):
+    # (dtype, sel_rows, margin): margin None = the engine default (f32: 8
+    # groups at any granularity; bf16: 8*128/sel_rows groups — constant row
+    # coverage, docs/bf16_screen.md).  The explicit bf16 margins measure the
+    # QPS cost of the scaled default vs the unscaled round-3 settings, so the
+    # default can be lowered if bf16_margin_sweep's granularity section shows
+    # a smaller zero-miss point.
+    configs = [
+        ("float32", 128, None), ("float32", 64, None), ("float32", 32, None),
+        ("bfloat16", 128, None),
+        ("bfloat16", 64, 8), ("bfloat16", 64, None),       # None = 16
+        ("bfloat16", 32, 8), ("bfloat16", 32, 16), ("bfloat16", 32, None),  # None = 32
+    ]
+    for dtype, sel_rows, margin in configs:
             eng = QueryEngine(
                 b.base, layout, km.centroids, scaler, params, probe_cap=128,
                 scan_impl="blocked", block_q=1024, scan_dtype=dtype,
-                block_sel_rows=sel_rows,
+                block_sel_rows=sel_rows, block_margin=margin,
             )
             outputs = eng.probe(b.query[:512])
             for target_nprobe in (8, 32):
@@ -82,9 +93,12 @@ def main():
                     set(r_small.ids[i][r_small.ids[i] >= 0]) >= set(oracle[i])
                     for i in np.nonzero(covered)[0]
                 ]
-                assert all(sets_eq), f"oracle miss at {dtype}/{sel_rows}/{target_nprobe}"
+                assert all(sets_eq), (
+                    f"oracle miss at {dtype}/{sel_rows}/m{margin}/{target_nprobe}"
+                )
                 print(
-                    f"[{dtype:8s} sel_rows={sel_rows:3d}] nprobe~{target_nprobe:3d} "
+                    f"[{dtype:8s} sel_rows={sel_rows:3d} margin={eng.block_margin or 'def'}]"
+                    f" nprobe~{target_nprobe:3d} "
                     f"ndis={res.ndis.mean():.0f} QPS={qps:.0f}",
                     flush=True,
                 )

@@ -92,6 +92,20 @@ def main():
                     f"({1e6 * dt / batch:.0f} us/q e2e)",
                     flush=True,
                 )
+                if "blocked" in name:
+                    # pipelined sustained throughput: 4 batches streamed with
+                    # probe/union of batch i+1 hidden behind batch i's scan
+                    x_s = np.concatenate([x_q] * 4)
+                    eng.search_stream(x_s, thr, 10, batch_size=batch)  # warmup
+                    t0 = time.time()
+                    rs = eng.search_stream(x_s, thr, 10, batch_size=batch)
+                    dt = time.time() - t0
+                    print(
+                        f"serve[{name}/stream x4] nprobe≈{rs.nprobe.mean():.1f} "
+                        f"ndis={rs.ndis.mean():.0f}: {len(x_s) / dt:.0f} QPS "
+                        f"({1e6 * dt / len(x_s):.0f} us/q sustained)",
+                        flush=True,
+                    )
             del eng
         except Exception as exc:  # remote-compile flakes must not kill the sweep
             print(f"serve[{name}] FAILED: {type(exc).__name__}: {exc}", flush=True)
