@@ -514,11 +514,9 @@ class ShardedQueryEngine:
             tb[urow, col * S_TILES + j] = self.tile_bucket[ud, usup * S_TILES + j]
         return supers.reshape(n_dev, n_blocks, U_s), tb.reshape(n_dev, n_blocks, U_s * S_TILES)
 
-    def search(self, queries: np.ndarray, threshold: float, k: int) -> SearchResult:
-        """One probe program → host unions → ONE scan program for the whole
-        batch (single-chip block_scan architecture: 2 device round trips)."""
-        t0 = time.perf_counter()
-        queries = np.asarray(queries, np.float32)
+    def _dispatch_probe(self, queries: np.ndarray, threshold: float) -> dict:
+        """Upload one batch + launch its probe program (async where the MLP
+        probes; the pluggable prober computes on host)."""
         B, d = queries.shape
         n_bkt = self.layout.n_bkt
         qb = max(8, min(self.block_q, _pow2ceil(B)))
@@ -543,48 +541,98 @@ class ShardedQueryEngine:
             perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
             nprobe = probed_h[:B].sum(axis=1)
             ndis = probed_h[:B] @ self.sizes.astype(np.int64)
-            union = np.asarray(union)
         else:
             m = min(self.probe_cap or n_bkt, n_bkt)
-            probed, perm, union, nprobe_d, ndis_d = _probe_prepare(
+            probed, perm, union, nprobe, ndis = _probe_prepare(
                 self.params, self.centroids, self.scaler_mean, self.scaler_scale,
                 q_dev, jnp.asarray(self.sizes, jnp.int32), jnp.int32(B),
                 jnp.float32(threshold), m, qb,
             )
-            union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
-            nprobe = np.asarray(nprobe_d[:B])
-            ndis = np.asarray(ndis_d[:B])
+        return dict(q=q_dev, probed=probed, perm=perm, union=union,
+                    nprobe=nprobe, ndis=ndis, B=B, qb=qb)
 
+    def _dispatch_scan(self, h: dict, k: int):
+        """Host union build + launch the sharded scan program (async).
+        Blocks only on the (tiny) union mask transfer."""
+        union = np.asarray(h["union"])  # (n_blocks, n_bkt) — tens of KB
         sel, tb, U, chunk = self._block_unions(union)
         fetch_k = k * self.n_mul
         kg = fetch_k + self.margin
         shard = NamedSharding(self.mesh, P(self.axis))
         if self.local_impl == "pallas":
             supers, tb_s = self._super_unions(sel)
-            fn = self._scan_fn(fetch_k, kg, k, supers.shape[2], chunk, qb)
-            sc, ids = fn(
-                q_dev, probed, perm,
+            fn = self._scan_fn(fetch_k, kg, k, supers.shape[2], chunk, h["qb"])
+            return fn(
+                h["q"], h["probed"], h["perm"],
                 jax.device_put(jnp.asarray(supers), shard),
                 jax.device_put(jnp.asarray(tb_s), shard),
                 self.corpus_r1, self.corpus_sq, self.corpus, self.corpus_ids,
             )
-        else:
-            fn = self._scan_fn(fetch_k, kg, k, U, chunk, qb)
-            sc, ids = fn(
-                q_dev, probed, perm,
-                jax.device_put(jnp.asarray(sel), shard),
-                jax.device_put(jnp.asarray(tb), shard),
-                self.corpus_r1, self.corpus, self.corpus_sq, self.corpus_ids,
-            )
-        ids = np.asarray(ids[:B])
-        scores = np.asarray(sc[:B])
-        elapsed = time.perf_counter() - t0
+        fn = self._scan_fn(fetch_k, kg, k, U, chunk, h["qb"])
+        return fn(
+            h["q"], h["probed"], h["perm"],
+            jax.device_put(jnp.asarray(sel), shard),
+            jax.device_put(jnp.asarray(tb), shard),
+            self.corpus_r1, self.corpus, self.corpus_sq, self.corpus_ids,
+        )
+
+    @staticmethod
+    def _collect(h: dict, scan_out) -> tuple:
+        sc, ids = scan_out
+        B = h["B"]
+        return (
+            np.asarray(sc[:B]),
+            np.asarray(ids[:B]),
+            np.asarray(h["nprobe"])[:B].astype(np.int64),
+            np.asarray(h["ndis"])[:B].astype(np.int64),
+        )
+
+    def search(self, queries: np.ndarray, threshold: float, k: int) -> SearchResult:
+        """One probe program → host unions → ONE scan program for the whole
+        batch (single-chip block_scan architecture: 2 device round trips)."""
+        t0 = time.perf_counter()
+        queries = np.asarray(queries, np.float32)
+        h = self._dispatch_probe(queries, threshold)
+        scores, ids, nprobe, ndis = self._collect(h, self._dispatch_scan(h, k))
         return SearchResult(
-            ids=ids,
-            scores=scores,
-            nprobe=nprobe.astype(np.int64),
-            ndis=ndis.astype(np.int64),
-            elapsed=elapsed,
+            ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
+            elapsed=time.perf_counter() - t0,
+        )
+
+    def search_stream(
+        self, queries: np.ndarray, threshold: float, k: int,
+        batch_size: int = 65536,
+    ) -> SearchResult:
+        """Pipelined multi-batch search (QueryEngine.search_stream parity):
+        batch i+1's probe program is dispatched before batch i's unions are
+        fetched, hiding the per-batch host round trips + union build behind
+        device work.  Results are bit-identical to per-batch `search`."""
+        t0 = time.perf_counter()
+        queries = np.asarray(queries, np.float32)
+        starts = list(range(0, len(queries), batch_size))
+        outs = []
+        prev = None
+        h_cur = self._dispatch_probe(queries[starts[0] : starts[0] + batch_size],
+                                     threshold)
+        for i in range(len(starts)):
+            h_next = (
+                self._dispatch_probe(
+                    queries[starts[i + 1] : starts[i + 1] + batch_size], threshold
+                )
+                if i + 1 < len(starts) else None
+            )
+            scan_out = self._dispatch_scan(h_cur, k)
+            if prev is not None:
+                outs.append(self._collect(*prev))
+            prev = (h_cur, scan_out)
+            h_cur = h_next
+        outs.append(self._collect(*prev))
+        return SearchResult(
+            ids=np.concatenate([o[1] for o in outs]),
+            scores=np.concatenate([o[0] for o in outs]),
+            nprobe=np.concatenate([o[2] for o in outs]),
+            ndis=np.concatenate([o[3] for o in outs]),
+            elapsed=time.perf_counter() - t0,
         )
 
     def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:

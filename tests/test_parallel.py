@@ -301,3 +301,22 @@ def test_sharded_union_build_is_fast_at_scale():
     assert sorted(got.tolist()) == sorted(want)
     ssup = supers[d, i][np.concatenate([[True], np.diff(supers[d, i]) != 0])]
     assert set(ssup.tolist()) >= set(np.unique(np.array(want) // 8).tolist())
+
+
+@needs_8
+def test_sharded_stream_matches_search():
+    """ShardedQueryEngine.search_stream pipelines batches but must return
+    bit-identical results to per-batch search() (same sharded programs,
+    different dispatch order).  Uneven tail batch included."""
+    x_d, x_q, layout, km, scaler, params = _small_index()
+    rng = np.random.default_rng(5)
+    x_many = rng.normal(size=(70, x_d.shape[1])).astype(np.float32)
+    mesh = make_mesh(8)
+    eng = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh)
+    for thr in (0.0, 0.5):
+        r_seq = eng.search(x_many, thr, k=5)
+        r_str = eng.search_stream(x_many, thr, k=5, batch_size=32)
+        np.testing.assert_array_equal(r_seq.ids, r_str.ids)
+        np.testing.assert_array_equal(r_seq.scores, r_str.scores)
+        np.testing.assert_array_equal(r_seq.nprobe, r_str.nprobe)
+        np.testing.assert_array_equal(r_seq.ndis, r_str.ndis)
