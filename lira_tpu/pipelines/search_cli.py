@@ -30,6 +30,7 @@ def run_search(
     t_step: float = 0.02,
     n_shards: int = 1,
     bundle=None,
+    stream_batch: int = 0,  # > 0: pipelined search_stream at this batch size
 ) -> list[dict]:
     art = load_index_artifacts(artifacts_dir, prefix)
     manifest = art["manifest"]
@@ -59,7 +60,12 @@ def run_search(
     n_q = len(bundle.query)
     engine.search(bundle.query[: min(64, n_q)], float(thresholds[0]), k)  # warmup
     for thr in thresholds:
-        res = engine.search(bundle.query, float(thr), k)
+        if stream_batch > 0:
+            # sustained-throughput mode: batches pipelined so batch i+1's
+            # probe + host union build hide behind batch i's scan
+            res = engine.search_stream(bundle.query, float(thr), k, stream_batch)
+        else:
+            res = engine.search(bundle.query, float(thr), k)
         hits = (res.ids[:, :, None] == bundle.groundtruth[:, None, :k]).any(axis=1)
         recall = hits.sum(axis=1) / float(k)
         row = {
@@ -90,10 +96,12 @@ def main(argv=None):
     p.add_argument("--t_max", type=float, default=0.80)
     p.add_argument("--t_step", type=float, default=0.02)
     p.add_argument("--n_shards", type=int, default=1)
+    p.add_argument("--stream_batch", type=int, default=0,
+                   help="pipelined search_stream batch size (0 = one batch)")
     a = p.parse_args(argv)
     run_search(
         a.artifacts_dir, a.prefix, a.dataset, a.data_path, a.k,
-        a.t_min, a.t_max, a.t_step, a.n_shards,
+        a.t_min, a.t_max, a.t_step, a.n_shards, stream_batch=a.stream_batch,
     )
 
 

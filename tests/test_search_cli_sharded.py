@@ -31,3 +31,13 @@ def test_search_cli_sharded_matches_single(tmp_path):
         assert r1["avg_nprobe"] == r8["avg_nprobe"]
         assert r1["avg_cmp"] == r8["avg_cmp"]
         assert abs(r1["avg_recall"] - r8["avg_recall"]) < 1e-9
+
+    # --stream_batch: pipelined mode must reproduce the sweep metrics
+    # exactly on both engines (uneven tail: 20 queries, batch 8)
+    for n_shards, base in ((1, rows1), (8, rows8)):
+        rows_s = run_search(out_dir, cfg.file_name, n_shards=n_shards,
+                            stream_batch=8, **kwargs)
+        for rb, rs in zip(base, rows_s):
+            assert rb["avg_nprobe"] == rs["avg_nprobe"]
+            assert rb["avg_cmp"] == rs["avg_cmp"]
+            assert abs(rb["avg_recall"] - rs["avg_recall"]) < 1e-9
