@@ -296,7 +296,10 @@ def _screen_rescore(
             oid = jnp.take_along_axis(ids.reshape(n, kg_eff * sel_rows), pos, axis=1)
             return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
 
-        sub_eff = sub if qb_ % sub == 0 else qb_
+        # largest divisor of qb_ that fits the gather budget — falling back
+        # to sub_eff = qb_ would stage the whole block and defeat the 256 MB
+        # bound at non-pow2 block sizes
+        sub_eff = next(s for s in range(min(sub, qb_), 0, -1) if qb_ % s == 0)
         n_sub = qb_ // sub_eff
         neg, oid = jax.lax.map(
             rbody,
@@ -434,8 +437,11 @@ class BlockScanState:
         sorted_pos = order[first:].astype(np.int32)  # padded positions by source id
         sorted_src = ids[order][first:]
 
+        # pad the index vectors to pow2 lengths (extra entries scatter to an
+        # out-of-bounds row and are dropped): the jitted scatter compiles
+        # O(log) times across chunks instead of once per distinct (hi-lo)
         scatter = jax.jit(
-            lambda o, pos, vals, src: o.at[pos].set(vals[src]),
+            lambda o, pos, vals, src: o.at[pos].set(vals[src], mode="drop"),
             donate_argnums=(0,),
         )
         out = jnp.zeros((rows_total, d), jnp.float32)
@@ -445,11 +451,16 @@ class BlockScanState:
             hi = int(np.searchsorted(sorted_src, e, side="left"))
             if lo == hi:
                 continue
+            cap = _pow2ceil(hi - lo)
+            pos_p = np.full(cap, rows_total, np.int32)  # OOB → dropped
+            pos_p[: hi - lo] = sorted_pos[lo:hi]
+            src_p = np.zeros(cap, np.int32)
+            src_p[: hi - lo] = sorted_src[lo:hi] - s
             out = scatter(
                 out,
-                jnp.asarray(sorted_pos[lo:hi]),
+                jnp.asarray(pos_p),
                 jnp.asarray(np.ascontiguousarray(x_d[s:e], np.float32)),
-                jnp.asarray((sorted_src[lo:hi] - s).astype(np.int32)),
+                jnp.asarray(src_p),
             )
         self._finish(out, ids, tile_bucket, metric, scan_dtype, tile, n_super)
         return self
@@ -553,6 +564,71 @@ def _round2_sub(kg: int, sel_rows: int, d: int, qb: int) -> int:
     return min(sub, qb)
 
 
+def _probe_batch(
+    state: BlockScanState,
+    engine,
+    queries: np.ndarray,  # (B, d) f32, one batch
+    threshold: float,
+    block_q: int,
+    use_cache: bool = False,
+):
+    """Upload one batch + launch its probe program (async); the single
+    probe-dispatch used by blocked_search, blocked_search_stream, and
+    mirrored by the sharded engine — the prober fallback / padding / perm
+    semantics live HERE only.
+
+    Returns a handle dict: q/probed/perm device arrays, union the
+    (n_blocks, n_bkt) mask (device for the MLP path), nprobe/ndis (device
+    full-length for the MLP path, host length-B for the prober path).
+
+    `use_cache` reuses the previous upload when the same query CONTENT at
+    the same shape is searched again (threshold sweeps re-search one batch;
+    33 MB re-uploads dominate on tunneled rigs).  The hit is verified by
+    np.array_equal against a kept host copy — identity alone would silently
+    serve stale vectors if a caller mutates a reused query buffer in place."""
+    queries = np.asarray(queries, np.float32)
+    B, d = queries.shape
+    qb = max(8, min(block_q, _pow2ceil(B)))
+    B_pad = -(-B // qb) * qb
+    cache = getattr(state, "_q_cache", None)
+    if (
+        use_cache and cache is not None and cache[0].shape == (B_pad, d)
+        and np.array_equal(cache[0][:B], queries)
+    ):
+        q_dev = cache[1]
+    else:
+        q_pad = np.zeros((B_pad, d), np.float32)
+        q_pad[:B] = queries
+        q_dev = jnp.asarray(q_pad)
+        if use_cache:
+            state._q_cache = (q_pad, q_dev)
+
+    n_bkt = engine.layout.n_bkt
+    if engine.prober is not None:
+        # pluggable prober (e.g. the IVF centroid-rank baseline): host
+        # outputs → engine threshold + argmax-fallback selection semantics
+        outputs = np.asarray(engine.prober(queries))
+        probed_h = engine.select_buckets(outputs, threshold)
+        if B_pad > B:
+            probed_h = np.concatenate(
+                [probed_h, np.zeros((B_pad - B, n_bkt), bool)], axis=0
+            )
+        top1 = np.concatenate([outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)])
+        probed = jnp.asarray(probed_h)
+        perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
+        nprobe = probed_h[:B].sum(axis=1)
+        ndis = probed_h[:B] @ engine.sizes.astype(np.int64)
+    else:
+        m = min(engine.probe_cap or n_bkt, n_bkt)
+        probed, perm, union, nprobe, ndis = _probe_prepare(
+            engine.params, engine.centroids, engine.scaler_mean,
+            engine.scaler_scale, q_dev, jnp.asarray(engine.sizes, jnp.int32),
+            jnp.int32(B), jnp.float32(threshold), m, qb,
+        )
+    return dict(q=q_dev, probed=probed, perm=perm, union=union,
+                nprobe=nprobe, ndis=ndis, B=B, qb=qb)
+
+
 def blocked_search(
     state: BlockScanState,
     engine,  # QueryEngine — probing params + tile geometry
@@ -587,43 +663,12 @@ def blocked_search(
     margin = _resolve_margin(margin, state.scan_dtype, sel_rows)
     precision = "default" if state.scan_dtype == jnp.bfloat16 else "highest"
     B, d = np.asarray(queries).shape
-    qb = max(8, min(block_q, _pow2ceil(B)))
-    B_pad = -(-B // qb) * qb
-    # reuse the uploaded query batch across calls (threshold sweeps search
-    # the same batch repeatedly; 33 MB re-uploads dominate on tunneled rigs)
-    cache = getattr(state, "_q_cache", None)
-    if cache is not None and cache[0] is queries and cache[1] == (B_pad, d):
-        q_dev = cache[2]
-    else:
-        q_pad = np.zeros((B_pad, d), np.float32)
-        q_pad[:B] = queries
-        q_dev = jnp.asarray(q_pad)
-        state._q_cache = (queries, (B_pad, d), q_dev)
+    h = _probe_batch(state, engine, queries, threshold, block_q, use_cache=True)
+    qb = h["qb"]
     mark("q_upload")
-
-    n_bkt = engine.layout.n_bkt
-    if engine.prober is not None:
-        outputs = np.asarray(engine.prober(np.asarray(queries, np.float32)))
-        probed_h = engine.select_buckets(outputs, threshold)
-        probed_h = np.concatenate(
-            [probed_h, np.zeros((B_pad - B, n_bkt), bool)], axis=0
-        ) if B_pad > B else probed_h
-        top1 = np.concatenate([outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)])
-        probed = jnp.asarray(probed_h)
-        perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
-        nprobe = probed_h[:B].sum(axis=1)
-        ndis = probed_h[:B] @ engine.sizes.astype(np.int64)
-        union = np.asarray(union)
-    else:
-        m = min(engine.probe_cap or n_bkt, n_bkt)
-        probed, perm, union, nprobe_d, ndis_d = _probe_prepare(
-            engine.params, engine.centroids, engine.scaler_mean, engine.scaler_scale,
-            q_dev, jnp.asarray(engine.sizes, jnp.int32), jnp.int32(B),
-            jnp.float32(threshold), m, qb,
-        )
-        union = np.asarray(union)  # (n_blocks, n_bkt) — tens of KB
-        nprobe = np.asarray(nprobe_d[:B])
-        ndis = np.asarray(ndis_d[:B])
+    union = np.asarray(h["union"])  # (n_blocks, n_bkt) — tens of KB
+    nprobe = np.asarray(h["nprobe"])[:B]
+    ndis = np.asarray(h["ndis"])[:B]
     mark("probe+union_sync")
 
     supers, tb = build_block_unions(
@@ -633,7 +678,7 @@ def blocked_search(
     kg = fetch_k + margin
     sub = _round2_sub(kg, sel_rows, d, qb)
     scores, ids = _scan_all(
-        q_dev, probed, perm, jnp.asarray(supers), jnp.asarray(tb),
+        h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
         state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
         precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
@@ -694,34 +739,8 @@ def blocked_search_stream(
     starts = list(range(0, B_total, batch_size))
 
     def dispatch_probe(qs: np.ndarray) -> dict:
-        """Upload one batch + launch its probe program (async)."""
-        B = len(qs)
-        qb = max(8, min(block_q, _pow2ceil(B)))
-        B_pad = -(-B // qb) * qb
-        q_pad = np.zeros((B_pad, d), np.float32)
-        q_pad[:B] = qs
-        q_dev = jnp.asarray(q_pad)
-        if engine.prober is not None:
-            outputs = np.asarray(engine.prober(qs))
-            probed_h = engine.select_buckets(outputs, threshold)
-            if B_pad > B:
-                probed_h = np.concatenate(
-                    [probed_h, np.zeros((B_pad - B, n_bkt), bool)], axis=0
-                )
-            top1 = np.concatenate([outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)])
-            probed = jnp.asarray(probed_h)
-            perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
-            nprobe = probed_h[:B].sum(axis=1)
-            ndis = probed_h[:B] @ engine.sizes.astype(np.int64)
-        else:
-            m = min(engine.probe_cap or n_bkt, n_bkt)
-            probed, perm, union, nprobe, ndis = _probe_prepare(
-                engine.params, engine.centroids, engine.scaler_mean,
-                engine.scaler_scale, q_dev, jnp.asarray(engine.sizes, jnp.int32),
-                jnp.int32(B), jnp.float32(threshold), m, qb,
-            )
-        return dict(q=q_dev, probed=probed, perm=perm, union=union,
-                    nprobe=nprobe, ndis=ndis, B=B, qb=qb)
+        # fresh upload per batch (no cross-call cache: every batch differs)
+        return _probe_batch(state, engine, qs, threshold, block_q)
 
     def dispatch_scan(h: dict):
         """Host union build + launch the batch's scan program (async).

@@ -195,6 +195,15 @@ class QueryEngine:
         if scan_impl == "blocked":
             from .block_scan import S_TILES, BlockScanState
 
+            if self.tile != 128:
+                # the blocked kernel's supertile DMA, group-min sublane
+                # reduce, and bsq/ids reshapes are all built on 128-row
+                # (lane-width) tiles — anything else would scan the wrong
+                # corpus rows silently
+                raise ValueError(
+                    f"scan_impl='blocked' requires a 128-row tile layout "
+                    f"(got tile={self.tile}); use scan_impl='xla' for other tiles"
+                )
             tile_bucket = np.repeat(
                 np.arange(layout.n_bkt, dtype=np.int32), self.tiles_per_bucket
             )
@@ -214,7 +223,11 @@ class QueryEngine:
             self.corpus = jnp.asarray(padded.reshape(n_tiles, self.tile, dim), self.scan_dtype)
             ids = layout.padded_ids.reshape(n_tiles, self.tile)
             self.corpus_ids = jnp.asarray(ids)
-            sq = (padded * padded).sum(axis=1).reshape(n_tiles, self.tile)
+            from ..ops.distance import row_sqnorms
+
+            # chunked + f64-accumulated: `(padded * padded).sum(1)` would
+            # stage a second padded-size temporary (~10 GB at 10M x n_mul 2)
+            sq = row_sqnorms(padded).reshape(n_tiles, self.tile)
             sq = np.where(ids >= 0, sq, np.inf).astype(np.float32)
             self.corpus_sq = jnp.asarray(sq)
 
@@ -278,16 +291,17 @@ class QueryEngine:
 
     # ---------- end-to-end search ----------
 
-    def _select_probed(self, q: jax.Array, threshold: float) -> tuple[np.ndarray, np.ndarray]:
-        """((B, n_bkt) bool probed mask, (B,) top-1 bucket id) — dense path
-        or capped top-M path.  The top-1 bucket doubles as the blocked scan's
-        query-grouping key (similar queries → overlapping probed tiles)."""
+    def _select_probed(self, q: jax.Array, threshold: float) -> np.ndarray:
+        """(B, n_bkt) bool probed mask — dense path or capped top-M path.
+        (The blocked scan builds its own probe + grouping on device via
+        block_scan._probe_prepare; this feeds the per-query xla/pallas
+        paths.)"""
         if self.prober is not None:
             outputs = np.asarray(self.prober(np.asarray(q)))
-            return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
+            return self.select_buckets(outputs, threshold)
         if self.probe_cap is None:
             outputs = np.asarray(self._probe_jit(q))
-            return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
+            return self.select_buckets(outputs, threshold)
         m = min(self.probe_cap, self.layout.n_bkt)
         vals, idx = _probe_topm(
             self.params, self.centroids, self.scaler_mean, self.scaler_scale, q, m
@@ -299,7 +313,7 @@ class QueryEngine:
         probed = np.zeros((B, self.layout.n_bkt), dtype=bool)
         rows = np.repeat(np.arange(B), valid.sum(axis=1))
         probed[rows, idx[valid]] = True
-        return probed, idx[:, 0]
+        return probed
 
     def _scan(self, q: jax.Array, tiles: np.ndarray, fetch_k: int):
         if self.scan_impl == "pallas" and fetch_k <= 128:
@@ -335,6 +349,8 @@ class QueryEngine:
         1M-corpus scale)."""
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
+        if len(queries) == 0:
+            return self._empty_result(k, t0)
 
         if self.scan_impl == "blocked":
             from .block_scan import blocked_search
@@ -368,6 +384,8 @@ class QueryEngine:
         per-batch search."""
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
+        if len(queries) == 0:
+            return self._empty_result(k, t0)
         if self.scan_impl == "blocked":
             from .block_scan import blocked_search_stream
 
@@ -392,8 +410,15 @@ class QueryEngine:
             elapsed=time.perf_counter() - t0,
         )
 
+    def _empty_result(self, k: int, t0: float) -> SearchResult:
+        return SearchResult(
+            ids=np.empty((0, k), np.int32), scores=np.empty((0, k), np.float32),
+            nprobe=np.empty(0, np.int64), ndis=np.empty(0, np.int64),
+            elapsed=time.perf_counter() - t0,
+        )
+
     def _search_unblocked(self, q, queries, threshold, k, t0):
-        probed, top1 = self._select_probed(q, threshold)
+        probed = self._select_probed(q, threshold)
         tiles = self._probe_tiles(probed)
         # scan with n_mul × k slots so replicas can be deduplicated to k
         # distinct; bf16 mode over-fetches extra slots for the f32 re-rank
@@ -455,8 +480,11 @@ class QueryEngine:
         )
 
     def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:
-        """Per-query recall@k vs ground truth (search.cpp:519-528)."""
-        hits = (result_ids[:, :, None] == gt_ids[:, None, :k]).any(axis=1)
+        """Per-query recall@k vs ground truth (search.cpp:519-528).
+        -1 padding in gt (undersized exact search) never counts as a hit —
+        otherwise -1 result padding would 'recall' it."""
+        gt = gt_ids[:, :k]
+        hits = ((result_ids[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)).any(axis=1)
         return hits.sum(axis=1) / float(k)
 
     def sweep(
@@ -471,7 +499,10 @@ class QueryEngine:
         search.cpp:413-549): recall / nprobe / ndis / QPS per threshold."""
         n_q = len(queries)
         if warmup:
-            self.search(queries[: min(64, n_q)], float(thresholds[0]), k)
+            # warm up at the FULL batch shape: a smaller warmup batch
+            # compiles different (qb / block) shapes and the first timed
+            # search would pay seconds of XLA compile inside the QPS number
+            self.search(queries, float(thresholds[0]), k)
         rows = []
         for thr in thresholds:
             res = self.search(queries, float(thr), k)

@@ -36,7 +36,7 @@ from ..engine.block_scan import (
     _probe_prepare,
     _screen_rescore,
 )
-from ..engine.serve import SearchResult, _probe, _probe_topm
+from ..engine.serve import SearchResult, _probe
 from ..ops.distance import row_sqnorms
 from ..partition.assign import BucketLayout
 
@@ -194,7 +194,9 @@ def _local_blocked_scan_all(
             oid = jnp.take_along_axis(idg.reshape(n, kg_eff * tile), pos, axis=1)
             return neg, jnp.where(neg > -(_BIG / 2), oid, -1)
 
-        sub_eff = sub if qb % sub == 0 else qb
+        # largest divisor of qb within the gather budget (falling back to
+        # the whole block would defeat the 256 MB bound, block_scan.py)
+        sub_eff = next(s for s in range(min(sub, qb), 0, -1) if qb % s == 0)
         n_sub = qb // sub_eff
         neg, oid = jax.lax.map(
             rbody,
@@ -387,27 +389,6 @@ class ShardedQueryEngine:
             probed[empty, outputs[empty].argmax(axis=1)] = True
         return probed
 
-    def _select_probed(self, q, threshold: float):
-        """((B, n_bkt) probed, (B,) top-1 bucket) — dense or probe_cap path
-        (QueryEngine._select_probed semantics)."""
-        if self.probe_cap is None:
-            outputs = np.asarray(
-                _probe(self.params, self.centroids, self.scaler_mean, self.scaler_scale, q)
-            )
-            return self.select_buckets(outputs, threshold), outputs.argmax(axis=1)
-        m = min(self.probe_cap, self.layout.n_bkt)
-        vals, idx = _probe_topm(
-            self.params, self.centroids, self.scaler_mean, self.scaler_scale, q, m
-        )
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        valid = vals >= threshold
-        valid[:, 0] = True
-        B = len(vals)
-        probed = np.zeros((B, self.layout.n_bkt), dtype=bool)
-        rows = np.repeat(np.arange(B), valid.sum(axis=1))
-        probed[rows, idx[valid]] = True
-        return probed, idx[:, 0]
-
     # ---------- scan ----------
 
     def _scan_fn(self, fetch_k: int, kg: int, k: int, U: int, chunk: int, qb: int):
@@ -592,6 +573,8 @@ class ShardedQueryEngine:
         batch (single-chip block_scan architecture: 2 device round trips)."""
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
+        if len(queries) == 0:
+            return self._empty_result(k, t0)
         h = self._dispatch_probe(queries, threshold)
         scores, ids, nprobe, ndis = self._collect(h, self._dispatch_scan(h, k))
         return SearchResult(
@@ -609,6 +592,8 @@ class ShardedQueryEngine:
         device work.  Results are bit-identical to per-batch `search`."""
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
+        if len(queries) == 0:
+            return self._empty_result(k, t0)
         starts = list(range(0, len(queries), batch_size))
         outs = []
         prev = None
@@ -635,8 +620,18 @@ class ShardedQueryEngine:
             elapsed=time.perf_counter() - t0,
         )
 
+    def _empty_result(self, k: int, t0: float) -> SearchResult:
+        return SearchResult(
+            ids=np.empty((0, k), np.int32), scores=np.empty((0, k), np.float32),
+            nprobe=np.empty(0, np.int64), ndis=np.empty(0, np.int64),
+            elapsed=time.perf_counter() - t0,
+        )
+
     def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:
-        hits = (result_ids[:, :, None] == gt_ids[:, None, :k]).any(axis=1)
+        """-1 padding in gt never matches -1 result padding (QueryEngine
+        semantics)."""
+        gt = gt_ids[:, :k]
+        hits = ((result_ids[:, :, None] == gt[:, None, :]) & (gt[:, None, :] >= 0)).any(axis=1)
         return hits.sum(axis=1) / float(k)
 
     def sweep(self, queries, gt_ids, k, thresholds, warmup: bool = True) -> list[dict]:

@@ -232,3 +232,60 @@ def _scaler_of(eng):
     s.mean_ = np.asarray(eng.scaler_mean)
     s.scale_ = np.asarray(eng.scaler_scale)
     return s
+
+
+def test_query_buffer_mutation_not_served_stale(rng):
+    """The sweep-upload cache must verify CONTENT: a serving loop that
+    refills one preallocated query buffer in place must get results for the
+    new vectors, not the first batch's (the identity-keyed cache bug)."""
+    x_q, e_ref, e_blk = _build(rng, "L2")
+    buf = np.array(x_q, np.float32)  # reused buffer
+    r1 = e_blk.search(buf, 0.0, k=5)
+    other = rng.normal(size=x_q.shape).astype(np.float32)
+    buf[:] = other  # in-place refill, same object
+    r2 = e_blk.search(buf, 0.0, k=5)
+    want = e_ref.search(other, 0.0, k=5)
+    for i in range(len(buf)):
+        assert set(r2.ids[i][r2.ids[i] >= 0]) == set(want.ids[i][want.ids[i] >= 0])
+    # and the cache still hits for a true repeat (same content)
+    r3 = e_blk.search(buf, 0.0, k=5)
+    np.testing.assert_array_equal(r2.ids, r3.ids)
+
+
+def test_blocked_rejects_non128_tile(rng):
+    """The blocked kernel is built on 128-row tiles; other layouts must be
+    rejected loudly instead of scanning wrong rows."""
+    import jax
+    import jax.numpy as jnp
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    x_d = rng.normal(size=(600, 8)).astype(np.float32)
+    d2b = rng.integers(0, 4, size=(600, 1)).astype(np.int32)
+    layout = build_bucket_layout(d2b, 4, tile=16)
+    km = kmeans_fit(x_d, 4, niter=2, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    sc = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), 4, 8)
+    with pytest.raises(ValueError, match="128-row tile"):
+        QueryEngine(x_d, layout, km.centroids, sc, params, scan_impl="blocked")
+
+
+def test_empty_batch_and_gt_padding(rng):
+    """Empty query batches return empty results on every path; -1 gt
+    padding never counts as a hit against -1 result padding."""
+    x_q, e_ref, e_blk = _build(rng, "L2")
+    for eng in (e_ref, e_blk):
+        r = eng.search(np.zeros((0, x_q.shape[1]), np.float32), 0.5, 5)
+        assert r.ids.shape == (0, 5) and r.ndis.shape == (0,)
+    r = e_blk.search_stream(np.zeros((0, x_q.shape[1]), np.float32), 0.5, 5)
+    assert r.ids.shape == (0, 5)
+
+    res = np.array([[3, -1, -1]])
+    gt = np.array([[3, -1, -1]])
+    rec = e_blk.recall_against(res, gt, 3)
+    assert rec[0] == pytest.approx(1 / 3)  # only the real id counts
