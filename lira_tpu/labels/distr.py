@@ -24,7 +24,13 @@ def _flatten_valid(knn: np.ndarray, data_2_bkt: np.ndarray):
         data_2_bkt = data_2_bkt[:, None]
     n, k = knn.shape
     n_mul = data_2_bkt.shape[1]
-    bkts = data_2_bkt[knn.reshape(-1)].reshape(n, k * n_mul)  # (n, k*n_mul)
+    # mask -1 neighbor ids (knn_fused pads with -1 when k exceeds the real
+    # candidates) BEFORE the lookup — fancy-indexing with -1 would silently
+    # read the LAST corpus point's buckets
+    flat_knn = knn.reshape(-1).astype(np.int64)
+    ok = flat_knn >= 0
+    bkts = data_2_bkt[np.where(ok, flat_knn, 0)]  # (n*k, n_mul)
+    bkts = np.where(ok[:, None], bkts, -1).reshape(n, k * n_mul)
     rows = np.repeat(np.arange(n, dtype=np.int64), k * n_mul)
     flat = bkts.reshape(-1).astype(np.int64)
     valid = flat >= 0
@@ -65,7 +71,10 @@ def gt_bucket_map(knn: np.ndarray, data_2_bkt: np.ndarray) -> np.ndarray:
     data_2_bkt = np.asarray(data_2_bkt)
     if data_2_bkt.ndim == 1:
         data_2_bkt = data_2_bkt[:, None]
-    return data_2_bkt[np.asarray(knn)].astype(np.int32)
+    knn = np.asarray(knn)
+    ok = knn >= 0  # -1 neighbor padding must not wrap to the last point
+    out = data_2_bkt[np.where(ok, knn, 0)].astype(np.int32)
+    return np.where(ok[..., None], out, -1)
 
 
 def label_recall(predicts: np.ndarray, gt_buckets: np.ndarray, k: int) -> np.ndarray:

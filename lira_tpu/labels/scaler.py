@@ -10,11 +10,30 @@ engine (reference: search.cpp:237-250 reads them back).
 from __future__ import annotations
 
 import os
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.distance import l2_to_centroids
+
+
+# module-level jits: per-call lambdas would recompile on every
+# scaled_centroid_distances invocation (pipelines call it several times)
+@partial(jax.jit, donate_argnums=(0,))
+def _place(buf, chunk, s):
+    return jax.lax.dynamic_update_slice(buf, chunk, (s, 0))
+
+
+@jax.jit
+def _moments(d, shift):
+    return jnp.sum(d - shift, axis=0), jnp.sum((d - shift) ** 2, axis=0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _standardize(d, mean, scale):
+    return (d - mean) / scale
 
 
 class StandardScaler:
@@ -101,40 +120,39 @@ def scaled_centroid_distances(
     n = len(x_d)
 
     if device_resident:
+        fit_scaler = scaler is None
         dist_dev = jnp.zeros((n, centroids.shape[0]), jnp.float32)
-        place = jax.jit(
-            lambda b, ch, s: jax.lax.dynamic_update_slice(b, ch, (s, 0)),
-            donate_argnums=0,
-        )
         shift = None
         s1 = s2 = None
         cnt = 0
-        moments = jax.jit(
-            lambda d, sh: (jnp.sum(d - sh, axis=0), jnp.sum((d - sh) ** 2, axis=0))
-        )
         for s in range(0, n, chunk_rows):
             e = min(s + chunk_rows, n)
             d_chunk = l2_to_centroids(jnp.asarray(x_d[s:e]), c)
-            if shift is None:
-                shift = jnp.mean(d_chunk, axis=0)
-                s1 = jnp.zeros_like(shift)
-                s2 = jnp.zeros_like(shift)
-            m1, m2 = moments(d_chunk, shift)
-            s1, s2 = s1 + m1, s2 + m2
-            cnt += e - s
-            dist_dev = place(dist_dev, d_chunk, jnp.int32(s))
-        sh = np.asarray(shift, np.float64)
-        m1 = np.asarray(s1, np.float64) / cnt
-        var = np.maximum(np.asarray(s2, np.float64) / cnt - m1 * m1, 0.0)
-        scaler = StandardScaler()
-        scaler.mean_ = (sh + m1).astype(np.float32)
-        scale = np.sqrt(var)
-        scale[scale < 1e-12] = 1.0
-        scaler.scale_ = scale.astype(np.float32)
-        scaler._count = cnt
-        mean_dev = jnp.asarray(scaler.mean_)
-        scale_dev = jnp.asarray(scaler.scale_)
-        dist_dev = jax.jit(lambda d: (d - mean_dev) / scale_dev, donate_argnums=0)(dist_dev)
+            if fit_scaler:
+                if shift is None:
+                    shift = jnp.mean(d_chunk, axis=0)
+                    s1 = jnp.zeros_like(shift)
+                    s2 = jnp.zeros_like(shift)
+                m1, m2 = _moments(d_chunk, shift)
+                s1, s2 = s1 + m1, s2 + m2
+                cnt += e - s
+            dist_dev = _place(dist_dev, d_chunk, jnp.int32(s))
+        if fit_scaler:
+            sh = np.asarray(shift, np.float64)
+            m1 = np.asarray(s1, np.float64) / cnt
+            var = np.maximum(np.asarray(s2, np.float64) / cnt - m1 * m1, 0.0)
+            scaler = StandardScaler()
+            scaler.mean_ = (sh + m1).astype(np.float32)
+            scale = np.sqrt(var)
+            scale[scale < 1e-12] = 1.0
+            scaler.scale_ = scale.astype(np.float32)
+            scaler._count = cnt
+        # a caller-provided scaler (two-pass / serve-time flows) must be the
+        # one that standardizes — refitting here would silently feed the
+        # model features on different moments than training
+        dist_dev = _standardize(
+            dist_dev, jnp.asarray(scaler.mean_), jnp.asarray(scaler.scale_)
+        )
         dist_q = None
         if x_q is not None:
             dist_q = scaler.transform(np.asarray(l2_to_centroids(jnp.asarray(x_q), c)))

@@ -49,7 +49,15 @@ def save_train_state(state: TrainState, path: str, step: int = 0) -> None:
 
 
 def load_train_state(path: str, template: TrainState) -> tuple[TrainState, int]:
-    """Restore into the structure of `template` (same model/optimizer config)."""
+    """Restore into the structure of `template` (same model/optimizer config).
+
+    Accepts the same path string the save took: save appends '.npz' when
+    missing, so load must too — otherwise a symmetric save/load pair with an
+    extension-less path dies on FileNotFoundError."""
+    import os
+
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
     flat = np.load(path)
     step = int(flat["step"])
 

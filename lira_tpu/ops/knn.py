@@ -119,7 +119,9 @@ def _prepare_corpus(base, metric: str, b_tile: int):
     device buffer — doing it on device peaks at ~3 corpus copies (input,
     zeros target, transpose), which OOMs a 16 GB chip at 10M×128 f32."""
     n_b, dim = base.shape
-    b_tile = min(b_tile, _round_up(n_b, 128))
+    # the query-tile kernel reshapes chunks to (dim, 128, b_tile//128):
+    # a non-multiple-of-128 b_tile would fail deep in tracing
+    b_tile = min(_round_up(b_tile, 128), _round_up(n_b, 128))
     n_pad = _round_up(n_b, b_tile)
     if isinstance(base, np.ndarray):
         bt = np.zeros((dim, n_pad), dtype=np.float32)
@@ -177,12 +179,27 @@ def exact_knn(
 
     q_tile = min(q_tile, _round_up(n_q, 8))
     n_tiles = math.ceil(n_q / q_tile)
-    query = np.asarray(query, dtype=np.float32)
+    if isinstance(query, jax.Array):
+        # device-resident queries stay on device: pad once and slice per
+        # tile — np.asarray would download the whole matrix just to
+        # re-upload it tile by tile
+        q_pad = jnp.zeros((n_tiles * q_tile, dim), jnp.float32).at[:n_q].set(query)
+        tiles = [
+            jax.lax.dynamic_slice_in_dim(q_pad, t * q_tile, q_tile)
+            for t in range(n_tiles)
+        ]
+    else:
+        query = np.asarray(query, dtype=np.float32)
+        tiles = None
     for t in range(n_tiles):
         s, e = t * q_tile, min((t + 1) * q_tile, n_q)
-        qt = np.zeros((q_tile, dim), dtype=np.float32)
-        qt[: e - s] = query[s:e]
-        sc, ids = _knn_query_tile(jnp.asarray(qt), base_t, base_sq, k, metric, b_tile, precision)
+        if tiles is None:
+            qt = np.zeros((q_tile, dim), dtype=np.float32)
+            qt[: e - s] = query[s:e]
+            q_dev = jnp.asarray(qt)
+        else:
+            q_dev = tiles[t]
+        sc, ids = _knn_query_tile(q_dev, base_t, base_sq, k, metric, b_tile, precision)
         out_scores[s:e] = np.asarray(sc[: e - s])
         out_ids[s:e] = np.asarray(ids[: e - s])
         if verbose and (t % 10 == 0 or t == n_tiles - 1):
@@ -210,11 +227,26 @@ def self_knn(
         base, base, k + 1, metric=metric, q_tile=q_tile, b_tile=b_tile,
         precision=precision, verbose=verbose,
     )
+    return drop_self(ids, k)
+
+
+def drop_self(ids: np.ndarray, k: int) -> np.ndarray:
+    """Drop each row's own id from a (n, kk) self-search result → (n, k).
+
+    Drops exactly one entry per row: the self hit if present, else the last
+    (exact-duplicate ties).  kk may be < k+1 when the search clamped k to
+    the corpus size (k >= n): the missing tail is -1-padded, matching the
+    -1 contract of knn_fused's padded-corpus hits."""
+    n, kk = ids.shape
     rows = np.arange(n)[:, None]
-    is_self = ids == rows  # (n, k+1)
-    # Drop exactly one entry per row: the self hit if present, else the last.
+    is_self = ids == rows  # (n, kk)
     has_self = is_self.any(axis=1)
-    drop_col = np.where(has_self, is_self.argmax(axis=1), k)
+    drop_col = np.where(has_self, is_self.argmax(axis=1), kk - 1)
     keep = np.ones_like(ids, dtype=bool)
     keep[rows[:, 0], drop_col] = False
-    return ids[keep].reshape(n, k).astype(np.int32)
+    out = ids[keep].reshape(n, kk - 1).astype(np.int32)
+    if kk - 1 < k:  # k >= n: fewer than k real neighbors exist
+        out = np.concatenate(
+            [out, np.full((n, k - (kk - 1)), -1, np.int32)], axis=1
+        )
+    return out

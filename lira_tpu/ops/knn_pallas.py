@@ -196,15 +196,10 @@ def self_knn_fused(
     margin: int = 8, precision: str = "default", interpret: bool | None = None,
 ) -> np.ndarray:
     """Self-kNN via the fused path; same contract as ops.knn.self_knn."""
-    n = base.shape[0]
+    from .knn import drop_self
+
     _, ids = knn_fused(
         base, base, k + 1, metric=metric, q_tile=q_tile, margin=margin,
         precision=precision, interpret=interpret,
     )
-    rows = np.arange(n)[:, None]
-    is_self = ids == rows
-    has_self = is_self.any(axis=1)
-    drop_col = np.where(has_self, is_self.argmax(axis=1), k)
-    keep = np.ones_like(ids, dtype=bool)
-    keep[rows[:, 0], drop_col] = False
-    return ids[keep].reshape(n, k).astype(np.int32)
+    return drop_self(ids, k)

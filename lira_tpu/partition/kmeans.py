@@ -48,6 +48,10 @@ def _assign_chunked(x: jax.Array, centroids: jax.Array, n_chunks: int):
 def _lloyd(x: jax.Array, init: jax.Array, reseed: jax.Array, n_bkt: int, niter: int, n_chunks: int):
     """niter Lloyd iterations; empty clusters re-seeded from preselected rows."""
     n = x.shape[0]
+    # pairwise_scores drops the per-point ||x||^2 (rank-invariant); add its
+    # mean back so `objective` really is the documented mean squared distance
+    # (otherwise it can go negative and can't be compared across datasets)
+    msq = jnp.mean(jnp.sum(x.astype(jnp.float32) ** 2, axis=1))
 
     def step(carry, i):
         centroids = carry
@@ -61,7 +65,7 @@ def _lloyd(x: jax.Array, init: jax.Array, reseed: jax.Array, n_bkt: int, niter: 
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]
         # empty cluster -> re-seed at a distinct random training point
         new_c = jnp.where((counts > 0)[:, None], new_c, x[reseed])
-        obj = jnp.mean(best)
+        obj = jnp.mean(best) + msq
         return new_c, obj
 
     centroids, objs = jax.lax.scan(step, init, jnp.arange(niter))
@@ -98,7 +102,10 @@ def kmeans_fit(
         xt = np.concatenate([xt, xt[: total - len(xt)]], axis=0)
 
     init_idx = rng.choice(len(xt), size=n_bkt, replace=False)
-    reseed_idx = rng.integers(0, len(xt), size=n_bkt)
+    # distinct rows (matching the comment at the reseed site): drawing with
+    # replacement could reseed two simultaneously-empty clusters to the SAME
+    # point, leaving them identical — and one of them permanently empty
+    reseed_idx = rng.choice(len(xt), size=n_bkt, replace=len(xt) < n_bkt)
 
     centroids, objs = _lloyd(
         jnp.asarray(xt), jnp.asarray(xt[init_idx]), jnp.asarray(reseed_idx),

@@ -46,3 +46,21 @@ def test_stage_stats():
         pass
     rep = st.report()
     assert "a:" in rep and "b:" in rep
+
+
+def test_save_load_extensionless_path(tmp_path):
+    """load accepts the same path string save took ('.npz' appended)."""
+    from lira_tpu.models.checkpoint import load_train_state, save_train_state
+    from lira_tpu.models.train import make_train_state
+
+    state = make_train_state(0, 4, 8)
+    p = str(tmp_path / "train_state")  # no extension
+    save_train_state(state, p, step=7)
+    restored, step = load_train_state(p, make_train_state(1, 4, 8))
+    assert step == 7
+    for layer in state.params:
+        for name in state.params[layer]:
+            np.testing.assert_array_equal(
+                np.asarray(restored.params[layer][name]),
+                np.asarray(state.params[layer][name]),
+            )

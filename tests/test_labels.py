@@ -164,3 +164,40 @@ def test_scaled_distances_device_resident_matches_host(rng):
     np.testing.assert_allclose(sc_dev.scale_, sc_host.scale_, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(d_dev), d_host, rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(q_dev, q_host, rtol=1e-4, atol=1e-5)
+
+
+def test_negative_knn_ids_masked():
+    """-1 neighbor padding (knn_fused's k > candidates contract) must not
+    wrap around to the LAST corpus point's buckets."""
+    from lira_tpu.labels.distr import gt_bucket_map, knn_bucket_counts, knn_bucket_labels
+
+    d2b = np.array([[0], [1], [2], [3]], np.int32)  # point 3 -> bucket 3
+    knn = np.array([[0, -1], [1, -1]], np.int32)
+    labels = knn_bucket_labels(knn, d2b, 4)
+    assert labels[0, 3] == 0 and labels[1, 3] == 0  # no wraparound to bucket 3
+    assert labels[0, 0] == 1 and labels[1, 1] == 1
+    counts = knn_bucket_counts(knn, d2b, 4)
+    assert counts[:, 3].sum() == 0
+    gmap = gt_bucket_map(knn, d2b)
+    assert gmap[0, 1, 0] == -1 and gmap[1, 1, 0] == -1
+
+
+def test_scaled_distances_respects_given_scaler_device_resident():
+    """device_resident=True with a caller scaler must standardize with the
+    CALLER's moments, not silently refit on the new data."""
+    from lira_tpu.labels.scaler import StandardScaler, scaled_centroid_distances
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    c = rng.normal(size=(5, 8)).astype(np.float32)
+    sc = StandardScaler()
+    sc.mean_ = np.full(5, 2.5, np.float32)
+    sc.scale_ = np.full(5, 3.0, np.float32)
+    d_dev, _, sc_out = scaled_centroid_distances(
+        x, None, c, scaler=sc, device_resident=True
+    )
+    d_host, _, _ = scaled_centroid_distances(
+        x, None, c, scaler=sc, device_resident=False
+    )
+    assert sc_out is sc
+    np.testing.assert_allclose(np.asarray(d_dev), d_host, rtol=1e-5, atol=1e-5)

@@ -82,3 +82,43 @@ def test_self_knn_with_duplicates():
     # each row's neighbors are the other duplicates of its value group
     assert set(knn[0]) <= set(range(1, 5))
     assert set(knn[7]) <= {5, 6, 8, 9}
+
+
+def test_self_knn_k_ge_n_pads():
+    """k >= n: only n-1 real neighbors exist — pad with -1, don't crash."""
+    from lira_tpu.ops.knn import self_knn
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(6, 4)).astype(np.float32)
+    ids = self_knn(x, 8)
+    assert ids.shape == (6, 8)
+    for i in range(6):
+        real = ids[i][ids[i] >= 0]
+        assert set(real) == set(range(6)) - {i}  # all others, no self
+        assert (ids[i][len(real):] == -1).all()
+
+
+def test_exact_knn_odd_b_tile():
+    """b_tile is rounded up to the kernel's 128-row contract."""
+    from lira_tpu.ops.knn import exact_knn
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(500, 8)).astype(np.float32)
+    q = rng.normal(size=(9, 8)).astype(np.float32)
+    _, ids = exact_knn(x, q, 5, b_tile=100)  # not a multiple of 128
+    gt = np.argsort(((x[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :5]
+    for i in range(9):
+        assert set(ids[i]) == set(gt[i])
+
+
+def test_exact_knn_device_resident_query():
+    """A jax.Array query must not be bounced through the host."""
+    import jax.numpy as jnp
+    from lira_tpu.ops.knn import exact_knn
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(400, 8)).astype(np.float32)
+    q = rng.normal(size=(33, 8)).astype(np.float32)
+    _, ids_np = exact_knn(x, q, 5)
+    _, ids_dev = exact_knn(x, jnp.asarray(q), 5)
+    np.testing.assert_array_equal(ids_np, ids_dev)
