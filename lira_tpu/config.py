@@ -117,7 +117,12 @@ def add_config_args(parser: argparse.ArgumentParser, cls=Config) -> None:
             ftype = float
         else:
             ftype = str
-        parser.add_argument(f"--{f.name}", type=ftype, default=default)
+        # SUPPRESS: the namespace only carries flags the user actually
+        # passed; dataclass defaults fill the rest.  parse_config records
+        # the explicit set so entry points with different defaults (e.g.
+        # largescale's n_epoch=30) can re-default WITHOUT clobbering an
+        # explicitly passed value that happens to equal the base default.
+        parser.add_argument(f"--{f.name}", type=ftype, default=argparse.SUPPRESS)
 
 
 def parse_config(argv: list[str] | None = None, cls=Config) -> Config:
@@ -125,5 +130,6 @@ def parse_config(argv: list[str] | None = None, cls=Config) -> Config:
     add_config_args(parser, cls)
     ns = parser.parse_args(argv)
     cfg = cls(**vars(ns))
+    cfg._explicit = frozenset(vars(ns))  # flag names the user passed
     cfg.update()
     return cfg

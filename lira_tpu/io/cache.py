@@ -24,24 +24,36 @@ def knn_cache_dir(data_path: str, dataset: str) -> str:
     return d
 
 
+def _metric_tag(metric: str | None) -> str:
+    """Cache-name infix per metric: L2 keeps the reference's metric-less
+    names (existing caches stay valid); other metrics are tagged so an
+    inner_product pipeline can never silently train on L2 neighbors."""
+    return "" if metric in (None, "L2") else "_ip" if metric == "inner_product" else f"_{metric}"
+
+
 def cache_basename(
-    dataset: str, k: int, n: int, nprobe: int | None = None, tag: str = ""
+    dataset: str, k: int, n: int, nprobe: int | None = None, tag: str = "",
+    metric: str | None = None,
 ) -> str:
     suffix = f"_ivf_nprobe{nprobe}" if nprobe else ""
     tag = f"-{tag}" if tag else ""
-    return f"{dataset}-data_self_knn{k}-n{n}{tag}{suffix}.bin"
+    return f"{dataset}-data_self_knn{k}-n{n}{tag}{_metric_tag(metric)}{suffix}.bin"
 
 
-def find_knn_cache(data_path: str, dataset: str, k: int, n: int, tag: str = "") -> str | None:
+def find_knn_cache(
+    data_path: str, dataset: str, k: int, n: int, tag: str = "",
+    metric: str | None = None,
+) -> str | None:
     """Locate an existing cache file, preferring approximate (any nprobe) then
     exact, newest first.  `tag` disambiguates caches over row *subsets*: the
     same (dataset, k, n) key can describe different subsets (different seed),
     so subset callers must pass a membership-identifying tag."""
     cache_dir = knn_cache_dir(data_path, dataset)
     t = f"-{tag}" if tag else ""
+    m = _metric_tag(metric)
     patterns = [
-        f"{dataset}-data_self_knn{k}-n{n}{t}_ivf_nprobe*.bin",
-        f"{dataset}-data_self_knn{k}-n{n}{t}.bin",
+        f"{dataset}-data_self_knn{k}-n{n}{t}{m}_ivf_nprobe*.bin",
+        f"{dataset}-data_self_knn{k}-n{n}{t}{m}.bin",
     ]
     for pattern in patterns:
         matches = glob.glob(os.path.join(cache_dir, pattern))
@@ -51,10 +63,11 @@ def find_knn_cache(data_path: str, dataset: str, k: int, n: int, tag: str = "") 
 
 
 def load_knn_cache(
-    data_path: str, dataset: str, k: int, n: int, tag: str = ""
+    data_path: str, dataset: str, k: int, n: int, tag: str = "",
+    metric: str | None = None,
 ) -> np.ndarray | None:
     """Load a cached (n, k) int32 self-kNN matrix, or None if absent."""
-    path = find_knn_cache(data_path, dataset, k, n, tag=tag)
+    path = find_knn_cache(data_path, dataset, k, n, tag=tag, metric=metric)
     if path is None:
         if tag:
             return None
@@ -77,11 +90,14 @@ def save_knn_cache(
     n_clusters: int | None = None,
     timings: dict[str, float] | None = None,
     tag: str = "",
+    metric: str | None = None,
 ) -> str:
     """Write the (n, k) int32 matrix plus a `.meta` provenance sidecar."""
     n, k = knn.shape
     cache_dir = knn_cache_dir(data_path, dataset)
-    path = os.path.join(cache_dir, cache_basename(dataset, k, n, nprobe, tag=tag))
+    path = os.path.join(
+        cache_dir, cache_basename(dataset, k, n, nprobe, tag=tag, metric=metric)
+    )
     np.ascontiguousarray(knn, dtype=np.int32).tofile(path)
 
     lines = [
@@ -90,6 +106,7 @@ def save_knn_cache(
         f"dim: {dim}",
         f"k: {k}",
         f"method: {method}",
+        f"metric: {metric or 'L2'}",
     ]
     if nprobe and n_clusters:
         lines += [

@@ -104,7 +104,10 @@ def stream_to_shards(
         buf = jax.device_put(jnp.zeros((per, stream.dim), dtype), devs[d_i])
         for s in range(lo, hi, chunk_rows):
             chunk = stream.read(s, min(s + chunk_rows, hi))
-            buf = _place(buf, jax.device_put(jnp.asarray(chunk), devs[d_i]), jnp.int32(s - lo))
+            # device_put straight from numpy: jnp.asarray first would commit
+            # the chunk to the default device and copy device-to-device,
+            # doubling transfer volume and serializing ingest through dev 0
+            buf = _place(buf, jax.device_put(chunk, devs[d_i]), jnp.int32(s - lo))
         shards.append(buf[None])
     sharding = NamedSharding(mesh, P(axis))
     arr = jax.make_array_from_single_device_arrays(

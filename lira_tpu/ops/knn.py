@@ -230,20 +230,25 @@ def self_knn(
     return drop_self(ids, k)
 
 
-def drop_self(ids: np.ndarray, k: int) -> np.ndarray:
+def drop_self(ids: np.ndarray, k: int, row_ids: np.ndarray | None = None) -> np.ndarray:
     """Drop each row's own id from a (n, kk) self-search result → (n, k).
 
     Drops exactly one entry per row: the self hit if present, else the last
     (exact-duplicate ties).  kk may be < k+1 when the search clamped k to
     the corpus size (k >= n): the missing tail is -1-padded, matching the
-    -1 contract of knn_fused's padded-corpus hits."""
+    -1 contract of knn_fused's padded-corpus hits.  `row_ids` overrides the
+    default arange(n) when the query rows are a slice of the corpus
+    (chunked self-search: global ids s..e)."""
     n, kk = ids.shape
-    rows = np.arange(n)[:, None]
+    if row_ids is None:
+        rows = np.arange(n)[:, None]
+    else:
+        rows = np.asarray(row_ids).reshape(n, 1)
     is_self = ids == rows  # (n, kk)
     has_self = is_self.any(axis=1)
     drop_col = np.where(has_self, is_self.argmax(axis=1), kk - 1)
     keep = np.ones_like(ids, dtype=bool)
-    keep[rows[:, 0], drop_col] = False
+    keep[np.arange(n), drop_col] = False
     out = ids[keep].reshape(n, kk - 1).astype(np.int32)
     if kk - 1 < k:  # k >= n: fewer than k real neighbors exist
         out = np.concatenate(

@@ -43,18 +43,6 @@ from ..partition.assign import BucketLayout
 _BIG = 3e38
 
 
-def balanced_bucket_split(padded_sizes: np.ndarray, n_dev: int) -> list[np.ndarray]:
-    """Greedy balanced assignment of buckets to devices by padded size."""
-    order = np.argsort(-padded_sizes, kind="stable")
-    loads = np.zeros(n_dev, dtype=np.int64)
-    groups: list[list[int]] = [[] for _ in range(n_dev)]
-    for b in order:
-        d = int(np.argmin(loads))
-        groups[d].append(int(b))
-        loads[d] += int(padded_sizes[b])
-    return [np.array(sorted(g), dtype=np.int64) for g in groups]
-
-
 def _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm):
     """Pad per-device candidates to fetch_k, all_gather every shard's top-k
     over the mesh axis, re-rank, dedup to k distinct neighbors, un-permute."""
@@ -264,7 +252,11 @@ class ShardedQueryEngine:
         self.sel_rows = sel_rows
         self.prober = prober
         if local_impl == "auto":
-            local_impl = "pallas" if layout.tile == 128 else "gather"
+            # pallas only where it runs compiled: off-TPU the interpreter is
+            # orders of magnitude slower than the XLA gather form (same rule
+            # as QueryEngine's scan_impl='auto')
+            on_tpu = jax.default_backend() == "tpu" if interpret is None else not interpret
+            local_impl = "pallas" if (layout.tile == 128 and on_tpu) else "gather"
         if local_impl == "pallas" and layout.tile != 128:
             raise ValueError("local_impl='pallas' needs a 128-row tile layout")
         self.local_impl = local_impl

@@ -151,12 +151,7 @@ def sharded_self_knn(
     base: np.ndarray, k: int, mesh: Mesh, metric: str = "L2", **kw
 ) -> np.ndarray:
     """Self-kNN with the corpus sharded across the mesh; self-hit removed."""
-    n = base.shape[0]
+    from ..ops.knn import drop_self
+
     _, ids = sharded_exact_knn(base, base, k + 1, mesh, metric=metric, **kw)
-    rows = np.arange(n)[:, None]
-    is_self = ids == rows
-    has_self = is_self.any(axis=1)
-    drop_col = np.where(has_self, is_self.argmax(axis=1), k)
-    keep = np.ones_like(ids, dtype=bool)
-    keep[rows[:, 0], drop_col] = False
-    return ids[keep].reshape(n, k).astype(np.int32)
+    return drop_self(ids, k)

@@ -54,6 +54,18 @@ def make_dp_train_step(tx: optax.GradientTransformation, mesh: Mesh, axis: str =
     return jax.jit(sharded)
 
 
+# jit caches key on function identity: rebuilding the shard_map step per
+# epoch would recompile the identical program every dp_train_epoch call
+_STEP_CACHE: dict = {}
+
+
+def _cached_dp_step(tx, mesh: Mesh, axis: str):
+    key = (id(tx), mesh, axis)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = make_dp_train_step(tx, mesh, axis)
+    return _STEP_CACHE[key]
+
+
 def dp_train_epoch(
     state: TrainState,
     mesh: Mesh,
@@ -64,7 +76,7 @@ def dp_train_epoch(
     axis: str = "data",
 ) -> tuple[TrainState, float]:
     """One DP epoch over host arrays (pads the tail batch)."""
-    step = make_dp_train_step(state.tx, mesh, axis)
+    step = _cached_dp_step(state.tx, mesh, axis)
     n = len(dist)
     n_dev = mesh.devices.size
     global_batch = max(n_dev, (global_batch // n_dev) * n_dev)

@@ -42,7 +42,8 @@ def auto_nprobe(n: int, n_list: int) -> int:
 
 
 def ivf_self_knn(
-    base: np.ndarray, k: int, n_list: int, nprobe: int, seed: int = 43
+    base: np.ndarray, k: int, n_list: int, nprobe: int, seed: int = 43,
+    metric: str = "L2",
 ) -> np.ndarray:
     """Two-stage approximate self-kNN: coarse quantize, scan nprobe partitions.
 
@@ -51,10 +52,9 @@ def ivf_self_knn(
     partition-group for simplicity and correctness (the candidate set is
     the union of each point's nprobe nearest partitions' members).
     """
-    from ..engine.scan import BucketCorpus
-    from ..engine.serve import QueryEngine, _scan_probed_tiles, _dedup_topk
-    from ..labels.scaler import StandardScaler
-    from ..ops.distance import pairwise_scores
+    from ..engine.serve import _scan_probed_tiles
+    from ..ops.distance import pairwise_scores, row_sqnorms
+    from ..ops.knn import drop_self
     from ..partition.assign import build_bucket_layout
 
     import jax.numpy as jnp
@@ -72,7 +72,10 @@ def ivf_self_knn(
     corpus = jnp.asarray(padded.reshape(n_tiles, tile, base.shape[1]))
     ids = layout.padded_ids.reshape(n_tiles, tile)
     corpus_ids = jnp.asarray(ids)
-    sq = (padded * padded).sum(axis=1).reshape(n_tiles, tile)
+    if metric == "inner_product":
+        sq = np.zeros((n_tiles, tile), np.float32)
+    else:
+        sq = row_sqnorms(padded).reshape(n_tiles, tile)
     corpus_sq = jnp.asarray(np.where(ids >= 0, sq, np.inf).astype(np.float32))
     tile_start = (layout.padded_offsets[:-1] // tile).astype(np.int64)
     tiles_per_bucket = (layout.padded_sizes // tile).astype(np.int64)
@@ -82,7 +85,10 @@ def ivf_self_knn(
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         q = base[s:e]
-        cs = np.asarray(pairwise_scores(jnp.asarray(q), cJ))
+        if metric == "inner_product":
+            cs = -np.asarray(q @ km.centroids.T)  # rank centroids by IP
+        else:
+            cs = np.asarray(pairwise_scores(jnp.asarray(q), cJ))
         probe = np.argsort(cs, axis=1, kind="stable")[:, :nprobe]
         B = e - s
         probed = np.zeros((B, n_list), dtype=bool)
@@ -106,17 +112,10 @@ def ivf_self_knn(
         tl[rows_flat, pos] = tiles_flat
 
         scores, nn = _scan_probed_tiles(
-            jnp.asarray(q), jnp.asarray(tl), corpus, corpus_ids, corpus_sq, k + 1, "L2"
+            jnp.asarray(q), jnp.asarray(tl), corpus, corpus_ids, corpus_sq,
+            k + 1, metric,
         )
-        nn, scores = np.asarray(nn), np.asarray(scores)
-        # strip the self hit
-        rows_i = np.arange(B)[:, None]
-        is_self = nn == (np.arange(s, e)[:, None])
-        has_self = is_self.any(axis=1)
-        drop = np.where(has_self, is_self.argmax(axis=1), k)
-        keep_m = np.ones_like(nn, dtype=bool)
-        keep_m[rows_i[:, 0], drop] = False
-        out[s:e] = nn[keep_m].reshape(B, k)
+        out[s:e] = drop_self(np.asarray(nn), k, row_ids=np.arange(s, e))
     return out
 
 
@@ -127,6 +126,11 @@ def main(argv=None):
     p.add_argument("k", nargs="?", type=int, default=10)
     p.add_argument("nprobe", nargs="?", type=int, default=0)
     p.add_argument("n_threads", nargs="?", type=int, default=0)  # accepted for CLI parity; unused on TPU
+    p.add_argument(
+        "--metric", default="L2", choices=["L2", "inner_product"],
+        help="distance metric; non-L2 caches carry a metric tag so an "
+        "inner_product pipeline can never consume L2 neighbors",
+    )
     p.add_argument(
         "--streaming", action="store_true",
         help="chunked disk→device ingestion: the corpus is never widened to "
@@ -155,7 +159,7 @@ def main(argv=None):
     if a.nprobe != 0:
         n_list = auto_n_list(n)
         nprobe = a.nprobe if a.nprobe > 0 else auto_nprobe(n, n_list)
-        knn = ivf_self_knn(base, a.k, n_list, nprobe)
+        knn = ivf_self_knn(base, a.k, n_list, nprobe, metric=a.metric)
         method = "ivf_approximate"
     else:
         n_list = nprobe = None
@@ -164,15 +168,15 @@ def main(argv=None):
         if jax.default_backend() == "tpu":
             from ..ops.knn_pallas import self_knn_fused
 
-            knn = self_knn_fused(base, a.k, precision="highest")
+            knn = self_knn_fused(base, a.k, metric=a.metric, precision="highest")
         else:
-            knn = self_knn(base, a.k)
+            knn = self_knn(base, a.k, metric=a.metric)
         method = "tpu_flat_exact"
     search_time = time.time() - t0
 
     path = save_knn_cache(
         a.data_path, a.dataset, knn, dim=dim, method=method,
-        nprobe=nprobe, n_clusters=n_list,
+        nprobe=nprobe, n_clusters=n_list, metric=a.metric,
         timings={"read_time": round(read_time, 3), "search_time": round(search_time, 3),
                  "total_time": round(read_time + search_time, 3)},
     )

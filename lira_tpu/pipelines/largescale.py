@@ -303,7 +303,9 @@ def run_largescale(
     knn_query = bundle.groundtruth[:, : cfg.k]
     gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
 
-    thresholds = np.arange(max(cfg.t_min, 0.1), 1.0, 0.05)
+    # honor the configured grid (main() re-defaults to the reference's
+    # coarse large-scale sweep 0.1..0.95 step 0.05 when flags are absent)
+    thresholds = np.arange(cfg.t_min, cfg.t_max + 1e-9, cfg.t_step)
     sweep_parts = []
     with stage_timer("baseline scan + sweep (part 0)", fw):
         if ckpt is not None and cfg.resume and ckpt.has("part0_found.npz"):
@@ -374,10 +376,20 @@ def main(argv=None):
     from ..config import parse_config
 
     cfg = parse_config(argv)
-    if cfg.n_epoch == 10:
-        cfg.n_epoch = 30  # large-scale defaults (reference: n_epoch=30, batch 512)
-    if cfg.batch_size == 64:
+    # large-scale defaults (reference: n_epoch=30, batch 512, coarse sweep
+    # 0.1..0.95 step 0.05) — applied only when the flag was NOT passed, so
+    # an explicit `--n_epoch 10` is honored instead of silently tripled
+    explicit = getattr(cfg, "_explicit", frozenset())
+    if "n_epoch" not in explicit:
+        cfg.n_epoch = 30
+    if "batch_size" not in explicit:
         cfg.batch_size = 512
+    if "t_min" not in explicit:
+        cfg.t_min = 0.1
+    if "t_max" not in explicit:
+        cfg.t_max = 0.95
+    if "t_step" not in explicit:
+        cfg.t_step = 0.05
     os.makedirs(cfg.pth_log, exist_ok=True)
     with open(os.path.join(cfg.pth_log, cfg.log_name), "a", encoding="utf-8") as fw:
         run_largescale(cfg, log_file=fw)

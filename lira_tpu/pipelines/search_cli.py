@@ -66,8 +66,7 @@ def run_search(
             res = engine.search_stream(bundle.query, float(thr), k, stream_batch)
         else:
             res = engine.search(bundle.query, float(thr), k)
-        hits = (res.ids[:, :, None] == bundle.groundtruth[:, None, :k]).any(axis=1)
-        recall = hits.sum(axis=1) / float(k)
+        recall = engine.recall_against(res.ids, bundle.groundtruth, k)
         row = {
             "threshold": float(thr),
             "avg_recall": float(recall.mean()),

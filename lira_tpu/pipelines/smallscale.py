@@ -55,7 +55,10 @@ def get_self_knn(
     the dataset (e.g. the large-scale training sample): (dataset, k, n)
     alone would collide across different subsets of the same size."""
     if use_cache and cfg.dataset:
-        cached = load_knn_cache(cfg.data_path, cfg.dataset, cfg.k, len(x_d), tag=cache_tag)
+        cached = load_knn_cache(
+            cfg.data_path, cfg.dataset, cfg.k, len(x_d), tag=cache_tag,
+            metric=cfg.dis_metric,
+        )
         if cached is not None:
             return cached
     t0 = time.perf_counter()
@@ -73,7 +76,7 @@ def get_self_knn(
             save_knn_cache(
                 cfg.data_path, cfg.dataset, knn, dim=x_d.shape[1],
                 method="tpu_flat_exact", timings={"search_time": round(elapsed, 3)},
-                tag=cache_tag,
+                tag=cache_tag, metric=cfg.dis_metric,
             )
         except OSError:
             pass  # read-only dataset dir: skip caching
@@ -154,7 +157,9 @@ def run_smallscale(
         fprint(ascii_table(headers, [[m[h] for h in headers]]), fw)
         return outputs
 
-    eval_epoch(-1)
+    # keep the pre-training outputs: with n_epoch=0 (evaluate-untrained run)
+    # the loop below never assigns `outputs` and the sweep would crash
+    outputs = eval_epoch(-1)
     for epoch in range(cfg.n_epoch):
         t0 = time.perf_counter()
         state, loss_train = train_epoch(state, train_dist, train_vec, train_tgt, batch_size=cfg.batch_size)

@@ -58,3 +58,17 @@ def test_ascii_table():
     assert "Long header" in lines[1]
     assert "2.3457" in t
     assert all(len(line) == len(lines[0]) for line in lines)
+
+
+def test_parse_config_records_explicit_flags():
+    """Entry points with different defaults (largescale: n_epoch=30) must be
+    able to tell an explicit `--n_epoch 10` from the dataclass default."""
+    from lira_tpu.config import parse_config
+
+    cfg = parse_config(["--dataset", "d", "--k", "5", "--n_bkt", "8",
+                        "--n_epoch", "10"])
+    assert "n_epoch" in cfg._explicit and cfg.n_epoch == 10
+    assert "batch_size" not in cfg._explicit
+    cfg2 = parse_config(["--dataset", "d", "--k", "5", "--n_bkt", "8"])
+    assert "n_epoch" not in cfg2._explicit
+    assert cfg2.n_epoch == cfg.n_epoch  # dataclass default == 10

@@ -100,3 +100,20 @@ def test_knn_cache_tag_isolates_subsets(tmp_path):
     np.testing.assert_array_equal(load_knn_cache(str(tmp_path), "toy", 4, 10, tag="seed2"), knn_b)
     assert load_knn_cache(str(tmp_path), "toy", 4, 10) is None  # untagged: miss
     assert load_knn_cache(str(tmp_path), "toy", 4, 10, tag="seed3") is None
+
+
+def test_knn_cache_metric_separation(tmp_path):
+    """L2 and inner_product self-kNN caches must not collide: an IP pipeline
+    silently training on L2 neighbors was the round-3 review's top finding."""
+    from lira_tpu.io.cache import load_knn_cache, save_knn_cache
+
+    knn_l2 = np.arange(12, dtype=np.int32).reshape(4, 3)
+    knn_ip = knn_l2[::-1].copy()
+    save_knn_cache(str(tmp_path), "ds", knn_l2, dim=8, method="x")
+    save_knn_cache(str(tmp_path), "ds", knn_ip, dim=8, method="x", metric="inner_product")
+    got_l2 = load_knn_cache(str(tmp_path), "ds", 3, 4)
+    got_ip = load_knn_cache(str(tmp_path), "ds", 3, 4, metric="inner_product")
+    np.testing.assert_array_equal(got_l2, knn_l2)
+    np.testing.assert_array_equal(got_ip, knn_ip)
+    # missing metric variant -> miss, not a silent L2 fallback
+    assert load_knn_cache(str(tmp_path), "other", 3, 4, metric="inner_product") is None

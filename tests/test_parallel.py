@@ -4,21 +4,12 @@ import jax
 
 from lira_tpu.parallel.mesh import make_mesh
 from lira_tpu.parallel.train_dp import dp_train_epoch, make_dp_train_step
-from lira_tpu.parallel.sharded_engine import ShardedQueryEngine, balanced_bucket_split
+from lira_tpu.parallel.sharded_engine import ShardedQueryEngine
 from lira_tpu.models.train import make_train_state, train_epoch, evaluate
 
 
 needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
-
-def test_balanced_split():
-    sizes = np.array([100, 90, 10, 10, 10, 10, 50, 50])
-    groups = balanced_bucket_split(sizes, 4)
-    loads = [sizes[g].sum() for g in groups]
-    assert sum(len(g) for g in groups) == 8
-    assert max(loads) - min(loads) <= 60
-    # every bucket appears exactly once
-    assert sorted(np.concatenate(groups).tolist()) == list(range(8))
 
 
 @needs_8
