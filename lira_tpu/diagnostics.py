@@ -40,16 +40,18 @@ def observe_knn_tail(
     n_q = len(knn_distr_cnt)
     lone = knn_distr_cnt == 1  # (n_q, n_bkt)
     rich = knn_distr_cnt > 1
-    nb = data_2_bkt[knn]  # (n_q, k, n_mul)
+    knn = np.asarray(knn)
+    valid_knn = knn >= 0  # -1 padding must not wrap to the last corpus point
+    nb = data_2_bkt[np.where(valid_knn, knn, 0)]  # (n_q, k, n_mul)
     safe = np.where(nb >= 0, nb, 0)
     lone_nb = lone[np.arange(n_q)[:, None, None], safe] & (nb >= 0)
-    is_tail = lone_nb.any(axis=2) & rich.any(axis=1)[:, None]  # (n_q, k)
+    is_tail = lone_nb.any(axis=2) & rich.any(axis=1)[:, None] & valid_knn
     tail_replicas = np.zeros((n_d, n_bkt), dtype=bool)
     qs, js = np.nonzero(is_tail)
     np.logical_or.at(tail_replicas, knn[qs, js], rich[qs])
 
     tail_ids = np.where(tail_replicas.any(axis=1))[0]
-    if max_points:
+    if max_points is not None:  # 0 means 'no tail points', not 'unbounded'
         tail_ids = tail_ids[:max_points]
     n_tail = len(tail_ids)
     if n_tail == 0:
@@ -85,14 +87,20 @@ def per_query_nprobe(
     csv_path: str | None = None,
 ) -> np.ndarray:
     """Smallest top-M probe count reaching the recall target per query,
-    with the matching ndis cost.  Returns (n_queries, 3): [q_id, nprobe, cmp]."""
+    with the matching ndis cost.  Returns (n_queries, 3): [q_id, nprobe, cmp].
+
+    Deviations from the reference (utils.py:502-519), both deliberate: its
+    `range(1, 20)` never tests M == max_probe, and a query that misses the
+    target reports nprobe=0/cmp=0 — deflating the mean with zeros for
+    exactly the hardest queries.  Here M == max_probe is tested, and a
+    query that still misses reports the full (max_probe, cmp-at-max)."""
     n_q = min(n_queries, len(outputs))
     order = np.argsort(-outputs[:n_q], axis=1, kind="stable")  # score-desc bucket ranking
     rows = []
     for q in range(n_q):
-        nprobe = cmp = 0
-        got = 0.0
-        for m in range(1, max_probe):
+        nprobe = max_probe
+        cmp = int(cluster_cnts[order[q, :max_probe]].sum())
+        for m in range(1, max_probe + 1):
             buckets = order[q, :m]
             got = knn_distr_cnt[q, buckets].sum() / k
             if got >= recall_target:

@@ -44,7 +44,11 @@ def ascii_table(headers: Sequence[str], rows: Iterable[Sequence], float_fmt: str
 
 @contextmanager
 def stage_timer(name: str, file: IO | None = None):
-    """Wall-clock bracket around a pipeline stage, logged via fprint."""
+    """Wall-clock bracket around a pipeline stage, logged via fprint.
+    Logs on exceptions too — the failing stage's elapsed time is exactly
+    the line needed to diagnose where a long run died."""
     start = time.perf_counter()
-    yield
-    fprint(f">> {name} time: {time.perf_counter() - start:.4f}s", file)
+    try:
+        yield
+    finally:
+        fprint(f">> {name} time: {time.perf_counter() - start:.4f}s", file)

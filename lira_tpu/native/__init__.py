@@ -24,13 +24,21 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
+    # (re)build when the library is missing OR older than its source.  The
+    # .so is never committed (-march=native binaries from another machine
+    # can SIGILL on this one — a signal the numpy fallbacks cannot catch)
+    src = os.path.join(_HERE, "lira_native.cpp")
+    stale = not os.path.exists(_SO) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if stale:
         try:
             subprocess.run(
                 ["make", "-s", "-C", _HERE], check=True, capture_output=True, timeout=120
             )
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

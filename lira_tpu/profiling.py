@@ -34,8 +34,12 @@ class StageStats:
     @contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
-        yield
-        self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
+        try:
+            yield
+        finally:
+            # record on exceptions too: otherwise report() silently
+            # attributes 100% of wall time to the stages that succeeded
+            self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
 
     def report(self) -> str:
         total = sum(self.times.values()) or 1.0

@@ -72,3 +72,37 @@ def test_ivf_sweep_monotone(rng):
     recalls = [r["recall"] for r in rows]
     assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
     assert recalls[-1] == 1.0  # probing all buckets recovers everything
+
+
+def test_observe_knn_tail_masks_negative_knn():
+    """-1 neighbor padding must not wrap to the last corpus point."""
+    from lira_tpu.diagnostics import observe_knn_tail
+
+    knn_distr_cnt = np.array([[1, 2, 0]])
+    outputs = np.zeros((4, 3), np.float32)
+    dist = np.zeros((4, 3), np.float32)
+    knn = np.array([[0, -1]], np.int32)
+    d2b = np.array([0, 1, 1, 2], np.int32)
+    res = observe_knn_tail(knn_distr_cnt, outputs, dist, knn, d2b)
+    assert 3 not in res["tail_ids"]  # point 3 only reachable via the -1 wrap
+    # max_points=0 means zero points, not unbounded
+    res0 = observe_knn_tail(knn_distr_cnt, outputs, dist, knn, d2b, max_points=0)
+    assert len(res0["tail_ids"]) == 0
+
+
+def test_per_query_nprobe_reaches_max_probe():
+    """M == max_probe is tested, and unreached queries report the full
+    (max_probe, cmp) instead of deflating the statistic with zeros."""
+    from lira_tpu.diagnostics import per_query_nprobe
+
+    # one query; target first reached at exactly max_probe=3 buckets
+    outputs = np.array([[3.0, 2.0, 1.0]])
+    cnt = np.array([[4, 3, 3]])  # k=10: 4/10, 7/10, 10/10
+    sizes = np.array([10, 20, 30])
+    rows = per_query_nprobe(outputs, cnt, sizes, k=10, recall_target=0.98,
+                            n_queries=1, max_probe=3)
+    assert tuple(rows[0]) == (0, 3, 60)
+    # unreachable target: report max_probe, not 0
+    rows = per_query_nprobe(outputs, cnt, sizes, k=100, recall_target=0.98,
+                            n_queries=1, max_probe=3)
+    assert tuple(rows[0]) == (0, 3, 60)
