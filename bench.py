@@ -83,13 +83,11 @@ def serving_bench():
     # future regime retune can never silently reuse a stale corpus; writes
     # are tmp+rename so a mid-save kill can't leave a truncated .npz that
     # bricks the os.path.exists branch of every later run.
-    gen = dict(n_base=n, n_query=batch, dim=d, n_clusters=64, k_gt=k, seed=43,
-               compute_gt=False, intrinsic_dim=min(16, d), center_scale=1.0,
-               noise_scale=1.0, query_noise=0.35, ambient_noise=0.02)
-    sig = "_".join(f"{gen[p]}" for p in ("n_clusters", "seed", "intrinsic_dim",
-                                         "center_scale", "noise_scale",
-                                         "query_noise", "ambient_noise"))
-    cache = f"/tmp/bench_corpus_{n}_{d}_{batch}_{sig}.npz"
+    from lira_tpu.io.datasets import HARD_REGIME, hard_regime_sig
+
+    gen = dict(HARD_REGIME, n_base=n, n_query=batch, dim=d, k_gt=k,
+               compute_gt=False, intrinsic_dim=min(HARD_REGIME["intrinsic_dim"], d))
+    cache = f"/tmp/bench_corpus_{n}_{d}_{batch}_{hard_regime_sig()}.npz"
     if os.path.exists(cache):
         f = np.load(cache)
         x_d, x_q = f["x_d"], f["x_q"]
@@ -155,8 +153,10 @@ def serving_bench():
         # buckets — exact neighbor-set match required (the bf16 mode's
         # screen must not have missed a single tile)
         n_chk = 256
-        out_s = eng.probe(x_q[:n_chk])
-        probed = eng.select_buckets(out_s, thr)
+        # _select_probed applies the engine's probe_cap=128: the raw
+        # probe+select path has no cap, so a heavy-tail query would give
+        # the oracle MORE buckets than the engine legitimately scanned
+        probed = eng._select_probed(jnp.asarray(x_q[:n_chk], jnp.float32), thr)
         for i in np.random.default_rng(0).choice(n_chk, size=64, replace=False):
             members = np.unique(np.concatenate(
                 [layout.bucket_members(bb) for bb in np.nonzero(probed[i])[0]]
@@ -216,7 +216,12 @@ def knn_fallback():
 
     jax.block_until_ready(one_tile(0))
     t0 = time.perf_counter()
-    outs = [one_tile(s)[1] for s in range(0, n_pad, q_tile)]
+    # n_pad need not divide q_tile: clamp the last start explicitly so the
+    # final tile is not silently re-scanning rows via dynamic_slice clamping
+    starts = list(range(0, n_pad - q_tile + 1, q_tile))
+    if starts[-1] + q_tile < n_pad:
+        starts.append(n_pad - q_tile)
+    outs = [one_tile(s)[1] for s in starts]
     jax.block_until_ready(outs[-1])
     elapsed = time.perf_counter() - t0
     log(f"fallback exact self-kNN 1M: {elapsed:.2f}s")

@@ -19,6 +19,42 @@ import numpy as np
 from .xvecs import read_xvecs, write_xvecs
 
 
+# The calibrated hard-regime generator settings every round-3 measurement
+# uses (scripts/hard_regime_calibrate.py: at 1M x 128 / 1024 partitions,
+# IVF needs nprobe ~ 12/24/32 for recall 0.90/0.95/0.98 — the reference's
+# sift/gist fan-out).  ONE definition: bench.py, the comparison scripts,
+# and the /tmp cache signatures all derive from this dict, so a retune
+# cannot leave one measurement on a stale distribution.
+HARD_REGIME = dict(
+    n_clusters=64, seed=43, intrinsic_dim=16, center_scale=1.0,
+    noise_scale=1.0, query_noise=0.35, ambient_noise=0.02,
+)
+
+
+def hard_regime_sig() -> str:
+    """Deterministic signature of HARD_REGIME for cache keys/sidecars."""
+    return "_".join(f"{k}={HARD_REGIME[k]}" for k in sorted(HARD_REGIME))
+
+
+def check_sig_sidecar(path: str, sig: str) -> bool:
+    """True iff `path`'s generator-signature sidecar matches `sig` (or the
+    sidecar is absent — legacy caches were written with current params).
+    Cache files under /tmp outlive generator retunes; the sidecar lets a
+    keyed-by-shape cache detect a distribution change without renaming."""
+    side = path + ".sig"
+    if not os.path.exists(side):
+        return True
+    with open(side) as f:
+        return f.read().strip() == sig
+
+
+def write_sig_sidecar(path: str, sig: str) -> None:
+    tmp = path + ".sig.tmp"
+    with open(tmp, "w") as f:
+        f.write(sig + "\n")
+    os.replace(tmp, path + ".sig")
+
+
 @dataclass
 class DatasetBundle:
     name: str

@@ -59,12 +59,11 @@ def main():
     # hard-regime corpus (scripts/hard_regime_calibrate.py): the same
     # fan-out distribution every round-3 measurement uses — margin behavior
     # is data-dependent, so calibrate it where we serve
-    from lira_tpu.io.datasets import synthetic_dataset
+    from lira_tpu.io.datasets import HARD_REGIME, synthetic_dataset
 
     b = synthetic_dataset(
-        n_base=n, n_query=n_q, dim=d, n_clusters=64, k_gt=k, seed=43,
-        compute_gt=False, intrinsic_dim=min(16, d), center_scale=1.0,
-        noise_scale=1.0, query_noise=0.35, ambient_noise=0.02, name="margin",
+        n_base=n, n_query=n_q, dim=d, k_gt=k, compute_gt=False,
+        name="margin", **HARD_REGIME,
     )
     x_d, x_q = b.base, b.query
     print(f"corpus {x_d.shape} ready (hard regime)", flush=True)

@@ -25,7 +25,7 @@ lira_tpu.enable_compilation_cache()
 
 import jax.numpy as jnp
 
-from lira_tpu.io.datasets import synthetic_dataset
+from lira_tpu.io.datasets import HARD_REGIME, synthetic_dataset
 from lira_tpu.ops.distance import pairwise_scores
 from lira_tpu.ops.knn import exact_knn
 from lira_tpu.partition.kmeans import kmeans_assign, kmeans_fit
@@ -68,8 +68,9 @@ def main():
     settings = {
         "easy-r2": dict(n_clusters=max(64, n_bkt), center_scale=30.0, noise_scale=14.0,
                         query_noise=10.0),
-        "hard-i16-c64": dict(intrinsic_dim=16, n_clusters=64, center_scale=1.0,
-                             noise_scale=1.0, query_noise=0.35, ambient_noise=0.02),
+        # the SHIPPED regime — identical by construction to what every
+        # measurement uses (io/datasets.HARD_REGIME)
+        "hard-i16-c64": {k: v for k, v in HARD_REGIME.items() if k != "seed"},
         "hard-i16-c256": dict(intrinsic_dim=16, n_clusters=256, center_scale=1.5,
                               noise_scale=1.0, query_noise=0.35, ambient_noise=0.02),
         "hard-i24-c64": dict(intrinsic_dim=24, n_clusters=64, center_scale=1.0,

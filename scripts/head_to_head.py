@@ -85,13 +85,15 @@ def main():
 
     regime = sys.argv[5] if len(sys.argv) > 5 else "hard"
     if regime == "hard":
-        # the calibrated fan-out regime (scripts/hard_regime_calibrate.py)
-        gen = dict(n_clusters=64, center_scale=1.0, noise_scale=1.0,
-                   query_noise=0.35, intrinsic_dim=16, ambient_noise=0.02)
+        # the calibrated fan-out regime — ONE definition shared with
+        # bench.py and every comparison script (io/datasets.HARD_REGIME)
+        from lira_tpu.io.datasets import HARD_REGIME
+
+        gen = dict(HARD_REGIME)
     else:
         gen = dict(n_clusters=n_bkt, center_scale=30.0, noise_scale=14.0,
-                   query_noise=10.0)
-    bsyn = synthetic_dataset(n_base=n, n_query=n_q, dim=d, k_gt=k, seed=43,
+                   query_noise=10.0, seed=43)
+    bsyn = synthetic_dataset(n_base=n, n_query=n_q, dim=d, k_gt=k,
                              compute_gt=False, name="h2h", **gen)
     x_d, x_q = bsyn.base, bsyn.query
     _, gt = exact_knn(x_d, x_q, k)
@@ -143,7 +145,9 @@ def main():
         x_d, res["layout"], res["kmeans"].centroids, res["scaler"],
         res["state"].params, n_mul=cfg.n_mul, scan_impl="blocked",
     )
-    thresholds = np.arange(t_min, t_max, t_step)
+    # include t_max: the reference loop is `thr <= t_max + 1e-6`
+    # (search.cpp:413) — both engines must run the SAME thresholds
+    thresholds = np.arange(t_min, t_max + t_step / 2, t_step)
     ours = eng.sweep(x_q, gt, k, thresholds)
     for r in ours:
         print(f"[tpu-blk ] thr={r['threshold']:.2f} recall={r['avg_recall']:.4f} "

@@ -62,10 +62,11 @@ def main():
     layout = build_bucket_layout(f["d2b_re"], n_bkt)
 
     t0 = time.time()
+    from lira_tpu.io.datasets import HARD_REGIME
+
     b = synthetic_dataset(
-        n_base=n, n_query=n_q, dim=dim, n_clusters=64, k_gt=10, seed=43,
-        compute_gt=False, intrinsic_dim=16, center_scale=1.0, noise_scale=1.0,
-        query_noise=0.35, ambient_noise=0.02, name="ivfcmp-hard",
+        n_base=n, n_query=n_q, dim=dim, k_gt=10, compute_gt=False,
+        name="ivfcmp-hard", **HARD_REGIME,
     )
     print(f"corpus regenerated ({time.time() - t0:.0f}s); computing k=100 gt", flush=True)
     _, gt = exact_knn(b.base, b.query, k, verbose=True)

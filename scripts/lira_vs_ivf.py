@@ -70,13 +70,14 @@ def main():
 
     t0 = time.time()
     if regime == "hard":
-        gen = dict(n_clusters=64, center_scale=1.0, noise_scale=1.0,
-                   query_noise=0.35, intrinsic_dim=16, ambient_noise=0.02)
+        from lira_tpu.io.datasets import HARD_REGIME
+
+        gen = dict(HARD_REGIME)
     else:
         gen = dict(n_clusters=max(64, n_bkt), center_scale=30.0,
-                   noise_scale=14.0, query_noise=10.0)
+                   noise_scale=14.0, query_noise=10.0, seed=43)
     bundle = synthetic_dataset(
-        n_base=n, n_query=n_q, dim=dim, k_gt=k, seed=43, name=f"ivfcmp-{regime}",
+        n_base=n, n_query=n_q, dim=dim, k_gt=k, name=f"ivfcmp-{regime}",
         compute_gt=False, **gen,
     )
     print(f"dataset generated ({time.time() - t0:.1f}s), computing gt...", flush=True)
@@ -93,7 +94,17 @@ def main():
     # trained-state cache: the pipeline costs ~50 min at 1M through the
     # tunnel; sweeps are minutes — cache (centroids, scaler, params, d2b)
     # so sweep settings can be iterated without retraining
+    from lira_tpu.io.datasets import check_sig_sidecar, write_sig_sidecar
+
     cache = f"/tmp/lvi_{regime}_{n}_{n_bkt}_{n_epoch}.npz"
+    gen_sig = "_".join(f"{k}={gen[k]}" for k in sorted(gen))
+    if os.path.exists(cache) and not check_sig_sidecar(cache, gen_sig):
+        # the trained state was fit on a DIFFERENT corpus distribution —
+        # pairing it with the fresh corpus would make every engine's
+        # recall/ndis silently wrong
+        print(f"cache {cache} is for different generator params — retraining",
+              flush=True)
+        os.remove(cache)
     if os.path.exists(cache):
         import jax
 
@@ -131,6 +142,7 @@ def main():
                 flat[f"p/{layer}/{name}"] = np.asarray(state.params[layer][name])
         np.savez(cache + ".tmp.npz", **flat)
         os.replace(cache + ".tmp.npz", cache)
+        write_sig_sidecar(cache, gen_sig)
         print(f"pipeline trained ({time.time() - t0:.1f}s); state cached", flush=True)
     layout0 = build_bucket_layout(d2b0, n_bkt)
 
@@ -171,7 +183,6 @@ def main():
 
     print("\n=== operating points (measured) ===", flush=True)
     for target in (0.90, 0.95, 0.98):
-        ivf_op = pick_threshold(sweeps["ivf"], target)
         for name in ("lira-nr", "lira"):
             cmp = compare_at_recall(sweeps[name], sweeps["ivf"], target)
             if cmp is None:

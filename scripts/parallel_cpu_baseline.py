@@ -34,10 +34,28 @@ import time
 
 WORK = "/tmp/h2h"
 REF_BIN = "/tmp/refbuild/search_ref"
-PREFIX = "h2h-k=10-ML_kmeans=1024_FLAT_Metric=L2_ReType=model_ReRatio=0.03"
+
+
+def _artifact_prefix() -> str:
+    """The prefix of whatever index head_to_head.py actually built —
+    globbed from the artifacts dir instead of hand-duplicating the
+    Config.file_name encoding (a non-default n_bkt would silently desync
+    a hardcoded string and the reference binary would die loading)."""
+    import glob
+
+    hits = sorted(glob.glob(os.path.join(WORK, "artifacts", "h2h-*_centroids.npy")))
+    if not hits:
+        raise SystemExit(f"no artifacts under {WORK}/artifacts — run scripts/head_to_head.py first")
+    return os.path.basename(hits[-1])[: -len("_centroids.npy")]
+
+
+PREFIX = None  # resolved lazily by ref_cmd
 
 
 def ref_cmd(thr: float) -> list[str]:
+    global PREFIX
+    if PREFIX is None:
+        PREFIX = _artifact_prefix()
     return [
         REF_BIN, "--dataset", "h2h", "--data_path", os.path.join(WORK, "data"),
         "--artifacts_dir", os.path.join(WORK, "artifacts"), "--prefix", PREFIX,

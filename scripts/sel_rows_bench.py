@@ -42,10 +42,11 @@ def main():
     k, dim = 10, 128
 
     t0 = time.time()
+    from lira_tpu.io.datasets import HARD_REGIME
+
     b = synthetic_dataset(
-        n_base=n, n_query=n_q, dim=dim, n_clusters=64, k_gt=k, seed=43,
-        compute_gt=False, intrinsic_dim=16, center_scale=1.0, noise_scale=1.0,
-        query_noise=0.35, ambient_noise=0.02, name="selrows",
+        n_base=n, n_query=n_q, dim=dim, k_gt=k, compute_gt=False,
+        name="selrows", **HARD_REGIME,
     )
     km = kmeans_fit(b.base, n_bkt, niter=20, seed=43)
     d2b = np.full((n, 1), -1, np.int32)

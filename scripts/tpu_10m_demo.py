@@ -59,29 +59,40 @@ def main():
     # (slow) vCPU — cache corpus+queries+gt across runs, keyed by the shape
     cache = f"/tmp/syn10m_corpus_{regime}_{n}_{d}_{n_q}.npz"
     gt_cache = f"/tmp/syn10m_gt_{regime}_{n}_{d}_{n_q}_{k}.npy"
-    # generator parameters of the hard regime: stored in the cache and
-    # verified on load so a future retune regenerates instead of silently
-    # serving the old distribution (legacy caches without the field were
-    # written with exactly these values)
-    gen_sig = "nc64_s43_id16_cs1.0_ns1.0_qn0.35_an0.02" if regime == "hard" else "easy"
+    # generator parameters: stored in the corpus cache and as sidecars on
+    # the gt/pipeline caches, verified on load — a retune must regenerate
+    # ALL of them, never pair a fresh corpus with the old distribution's
+    # ground truth or trained state (legacy caches without the field were
+    # written with exactly these values).  The easy regime's generator is
+    # parameterized by n_bkt, so its signature carries it.
+    if regime == "hard":
+        from lira_tpu.io.datasets import hard_regime_sig
+
+        gen_sig = hard_regime_sig()
+    else:
+        gen_sig = f"easy_nbkt={n_bkt}"
+    from lira_tpu.io.datasets import check_sig_sidecar, write_sig_sidecar
+
+    # signatures these params were previously stored under (identical
+    # distributions — do not throw away a 45-min 10M corpus over a rename)
+    legacy_sigs = {"nc64_s43_id16_cs1.0_ns1.0_qn0.35_an0.02"} if regime == "hard" else {"easy"}
     x_d = None
     if os.path.exists(cache):
         f = np.load(cache)
-        if "gen_sig" in f and str(f["gen_sig"]) != gen_sig:
+        if "gen_sig" in f and str(f["gen_sig"]) not in {gen_sig} | legacy_sigs:
             print(f"[gen] cache {cache} is for gen_sig={f['gen_sig']}, "
                   f"want {gen_sig} — regenerating", flush=True)
         else:
             x_d, x_q = f["x_d"], f["x_q"]
             print(f"[gen] corpus from cache {cache} ({time.time() - t0:.1f}s)", flush=True)
+    corpus_fresh = x_d is None
     if x_d is None:
         if regime == "hard":
-            from lira_tpu.io.datasets import synthetic_dataset
+            from lira_tpu.io.datasets import HARD_REGIME, synthetic_dataset
 
             b = synthetic_dataset(
-                n_base=n, n_query=n_q, dim=d, n_clusters=64, k_gt=k, seed=43,
-                compute_gt=False, intrinsic_dim=16, center_scale=1.0,
-                noise_scale=1.0, query_noise=0.35, ambient_noise=0.02,
-                name=f"syn{n // 1_000_000}m-hard",
+                n_base=n, n_query=n_q, dim=d, k_gt=k, compute_gt=False,
+                name=f"syn{n // 1_000_000}m-hard", **HARD_REGIME,
             )
             x_d, x_q = b.base, b.query
         else:
@@ -101,7 +112,11 @@ def main():
         except OSError:
             pass  # disk-full: run uncached
 
-    if os.path.exists(gt_cache):
+    # a gt cache is only valid for the corpus we actually hold: if the
+    # corpus was regenerated this run (cache miss OR signature mismatch)
+    # the old gt describes a different distribution
+    if (not corpus_fresh and os.path.exists(gt_cache)
+            and check_sig_sidecar(gt_cache, gen_sig)):
         gt = np.load(gt_cache)
         print(f"[gt] from cache {gt_cache}", flush=True)
     else:
@@ -112,6 +127,7 @@ def main():
         try:
             np.save(gt_cache + ".tmp.npy", gt)
             os.replace(gt_cache + ".tmp.npy", gt_cache)
+            write_sig_sidecar(gt_cache, gen_sig)
         except OSError:
             pass
 
@@ -128,6 +144,13 @@ def main():
     # cache the pipeline's serving inputs so a killed run's serving sweep is
     # repeatable without the ~80-min pipeline (this rig's 3 h ceiling bit once)
     pcache = f"/tmp/syn10m_pipeline_{regime}_{n}_{n_bkt}_{n_epoch}.npz"
+    if corpus_fresh and os.path.exists(pcache):
+        # trained state from a previous corpus must not serve a fresh one
+        os.remove(pcache)
+    if os.path.exists(pcache) and not check_sig_sidecar(pcache, gen_sig):
+        print(f"[pipeline] cache {pcache} is for different generator params "
+              "— rebuilding", flush=True)
+        os.remove(pcache)
     if os.path.exists(pcache):
         import pickle
 
@@ -167,6 +190,7 @@ def main():
                 params=np.frombuffer(pickle.dumps(params_np), dtype=np.uint8),
             )
             os.replace(pcache + ".tmp.npz", pcache)
+            write_sig_sidecar(pcache, gen_sig)
         except OSError:
             pass
     print(f"[layout] total rows {layout.total:,} (redundancy ×{layout.total / n:.3f})",
