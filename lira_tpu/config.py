@@ -46,6 +46,7 @@ class Config:
     sigma: float = 0.5  # probing 0/1 threshold
     seed: int = 43
     kmeans_niter: int = 20
+    kmeans_init: str = "random"  # 'random' (reference faiss parity) | 'kmeans++' (kmeans|| oversampling)
 
     # threshold sweep
     t_min: float = 0.02

@@ -72,6 +72,70 @@ def _lloyd(x: jax.Array, init: jax.Array, reseed: jax.Array, n_bkt: int, niter: 
     return centroids, objs
 
 
+def _kmeanspp_init(
+    xt: np.ndarray, n_bkt: int, rng: np.random.Generator, rounds: int = 5,
+) -> np.ndarray:
+    """kmeans|| (scalable k-means++, Bahmani et al. 2012) — TPU-native form.
+
+    Sequential k-means++ draws one center at a time (n_bkt dependent
+    passes: hostile to a 2048-partition build).  kmeans|| oversamples
+    ~2·n_bkt/rounds candidates per round with probability proportional to
+    the current squared distance — each round is ONE matmul distance pass
+    over the training rows — then reduces the ~2-3·n_bkt weighted
+    candidates to n_bkt with a short weighted Lloyd.  Spread-out initial
+    centers mean fewer empty-cluster reseeds and a lower final objective
+    than the random-subset init (pinned by tests/test_partition.py)."""
+    n = len(xt)
+    x_dev = jnp.asarray(xt)
+    cand = [int(rng.integers(0, n))]
+    per_round = max(2, (2 * n_bkt) // rounds)
+    d2 = None  # running min squared distance to the candidate set
+    msq = (xt.astype(np.float64) ** 2).sum(axis=1)
+    new = np.array(cand)
+    for _ in range(rounds):
+        # distances only against the NEW candidates; running min on host
+        scores = np.asarray(pairwise_scores(x_dev, jnp.asarray(xt[new])))
+        d2_new = (scores.min(axis=1) + msq).clip(min=0.0)
+        d2 = d2_new if d2 is None else np.minimum(d2, d2_new)
+        total = d2.sum()
+        if total <= 0:
+            break
+        take = np.nonzero(rng.random(n) < per_round * d2 / total)[0]
+        if len(take) == 0:
+            take = np.array([int(np.argmax(d2))])
+        cand.extend(int(i) for i in take)
+        new = take
+    cand = np.unique(np.array(cand))
+    if len(cand) <= n_bkt:  # degenerate (tiny data): fall back to random fill
+        extra = rng.choice(n, size=n_bkt - len(cand) + 1, replace=False)
+        cand = np.unique(np.concatenate([cand, extra]))[:n_bkt]
+        return xt[cand] if len(cand) == n_bkt else xt[
+            rng.choice(n, size=n_bkt, replace=False)
+        ]
+
+    # weight candidates by how many training rows they currently own, then
+    # reduce to n_bkt with a weighted Lloyd over the (small) candidate set
+    scores = np.asarray(pairwise_scores(x_dev, jnp.asarray(xt[cand])))
+    owner = scores.argmin(axis=1)
+    w = np.bincount(owner, minlength=len(cand)).astype(np.float64)
+    pts = xt[cand].astype(np.float64)
+    seeds = rng.choice(len(cand), size=n_bkt, replace=False, p=w / w.sum())
+    centers = pts[seeds].copy()
+    psq = (pts**2).sum(axis=1)
+    wp = pts * w[:, None]
+    for _ in range(10):
+        # matmul distances: a dense (cand, n_bkt, dim) difference tensor
+        # would be ~12 GB at n_bkt=2048 with 3x oversampling
+        d = psq[:, None] - 2.0 * (pts @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        wsum = np.bincount(a, weights=w, minlength=n_bkt)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, a, wp)
+        live = wsum > 0
+        centers[live] = sums[live] / wsum[live, None]
+    return centers.astype(np.float32)
+
+
 def kmeans_fit(
     x: np.ndarray | jax.Array,
     n_bkt: int,
@@ -80,8 +144,13 @@ def kmeans_fit(
     max_points_per_centroid: int = 256,
     chunk_rows: int = 16384,
     verbose: bool = False,
+    init: str = "random",  # 'random' (reference faiss parity) | 'kmeans++'
 ) -> KMeans:
-    """Train K-Means with Lloyd iterations on (a subsample of) x."""
+    """Train K-Means with Lloyd iterations on (a subsample of) x.
+
+    `init='kmeans++'` runs the kmeans|| oversampling init (one matmul
+    distance pass per round) before Lloyd — better-spread centers, lower
+    final objective; 'random' matches the reference's faiss default."""
     x = np.asarray(x, dtype=np.float32)
     n, dim = x.shape
     rng = np.random.default_rng(seed)
@@ -101,14 +170,19 @@ def kmeans_fit(
     if total > len(xt):
         xt = np.concatenate([xt, xt[: total - len(xt)]], axis=0)
 
-    init_idx = rng.choice(len(xt), size=n_bkt, replace=False)
+    if init == "kmeans++":
+        init_c = _kmeanspp_init(xt, n_bkt, rng)
+    elif init == "random":
+        init_c = xt[rng.choice(len(xt), size=n_bkt, replace=False)]
+    else:
+        raise ValueError(f"init={init!r}: expected 'random' or 'kmeans++'")
     # distinct rows (matching the comment at the reseed site): drawing with
     # replacement could reseed two simultaneously-empty clusters to the SAME
     # point, leaving them identical — and one of them permanently empty
     reseed_idx = rng.choice(len(xt), size=n_bkt, replace=len(xt) < n_bkt)
 
     centroids, objs = _lloyd(
-        jnp.asarray(xt), jnp.asarray(xt[init_idx]), jnp.asarray(reseed_idx),
+        jnp.asarray(xt), jnp.asarray(init_c), jnp.asarray(reseed_idx),
         n_bkt, niter, n_chunks,
     )
     if verbose:

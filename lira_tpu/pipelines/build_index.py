@@ -44,7 +44,8 @@ def build_index(
     knn_data = get_self_knn(x_d, cfg, use_cache=use_cache)
 
     with stage_timer("build kmeans index", fw):
-        km = kmeans_fit(x_d, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed)
+        km = kmeans_fit(x_d, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed,
+                        init=cfg.kmeans_init)
         assign = kmeans_assign(x_d, km.centroids)
     data_2_bkt = np.full((n_d, cfg.n_mul), -1, dtype=np.int32)
     data_2_bkt[:, 0] = assign

@@ -227,7 +227,8 @@ def run_largescale(
             km = KMeans(centroids=f["centroids"], objective=f["objective"])
             assign_sub = f["assign_sub"]
         else:
-            km = kmeans_fit(x_sub, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed)
+            km = kmeans_fit(x_sub, n_bkt, niter=cfg.kmeans_niter, seed=cfg.seed,
+                        init=cfg.kmeans_init)
             assign_sub = kmeans_assign(x_sub, km.centroids)
             if ckpt is not None:
                 ckpt.save(

@@ -77,3 +77,27 @@ def test_bucket_layout_matches_bincount(rng):
     np.testing.assert_array_equal(lay.sizes, np.bincount(assign, minlength=16))
     # every id appears exactly once overall
     np.testing.assert_array_equal(np.sort(lay.ids), np.arange(1000))
+
+
+def test_kmeans_plusplus_init():
+    """kmeans|| init: valid centroids, objective no worse than random init
+    on clustered data (better-spread seeds on a mixture with n_bkt ~= true
+    cluster count)."""
+    import numpy as np
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=6.0, size=(16, 12)).astype(np.float32)
+    x = (centers[rng.integers(0, 16, size=4000)]
+         + rng.normal(scale=1.0, size=(4000, 12)).astype(np.float32))
+    km_r = kmeans_fit(x, 16, niter=8, seed=1, init="random")
+    km_p = kmeans_fit(x, 16, niter=8, seed=1, init="kmeans++")
+    assert km_p.centroids.shape == (16, 12)
+    assert np.isfinite(km_p.objective).all()
+    # non-regression with slack for RNG: the oversampled init must not be
+    # materially worse, and on this mixture it is typically strictly better
+    assert km_p.objective[-1] <= km_r.objective[-1] * 1.05
+
+    import pytest
+    with pytest.raises(ValueError, match="init"):
+        kmeans_fit(x, 4, niter=1, init="bogus")
