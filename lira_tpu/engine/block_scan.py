@@ -112,7 +112,8 @@ def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int):
 
 
 def _union_groupmin_kernel(
-    sref, q_ref, chunk_ref, bsq_ref, out_ref, *, metric, precision, sel_rows=128
+    sref, q_ref, chunk_ref, bsq_ref, *rest, metric, precision, sel_rows=128,
+    quantized=False,
 ):
     """One (block, union-supertile) step: (S·128, d) × (qb, d)ᵀ on the MXU →
     per-group min over SUBLANES, emitted (1, S·128/sel_rows, qb).
@@ -132,17 +133,34 @@ def _union_groupmin_kernel(
     the selection phase.  Exactness is preserved for any group size: the
     true top-fetch_k rows lie in ≤ fetch_k distinct groups, and a group
     holding one has group-min ≤ that row's score, so selecting the
-    kg ≥ fetch_k best group-mins always covers them."""
-    dot = jax.lax.dot_general(
-        chunk_ref[...], q_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # (S*128, qb)
-    if metric == "inner_product":
-        scores = bsq_ref[...] - dot
+    kg ≥ fetch_k best group-mins always covers them.
+
+    quantized=True is the int8 screen: chunk/q arrive as symmetric int8
+    (corpus per-dim scale folded into the query before quantization, see
+    _screen_rescore), the dot accumulates in int32 on the MXU at 2× the
+    bf16 rate and ¼ the f32 HBM bytes, and `rest` carries one extra SMEM
+    scalar — the dequantization factor t (×2 for L2) applied to the int32
+    dot before the f32 bsq subtraction."""
+    if quantized:
+        t_ref, out_ref = rest
+        doti = jax.lax.dot_general(
+            chunk_ref[...], q_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (S*128, qb) exact: |dot| ≤ 127²·d < 2^24 at d ≤ 1024
+        scores = bsq_ref[...] - t_ref[0, 0] * doti.astype(jnp.float32)
     else:
-        scores = bsq_ref[...] - 2.0 * dot
+        (out_ref,) = rest
+        dot = jax.lax.dot_general(
+            chunk_ref[...], q_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (S*128, qb)
+        if metric == "inner_product":
+            scores = bsq_ref[...] - dot
+        else:
+            scores = bsq_ref[...] - 2.0 * dot
     n_groups = S_TILES * 128 // sel_rows
     mins = [
         scores[g * sel_rows : (g + 1) * sel_rows, :].min(axis=0, keepdims=True)
@@ -197,15 +215,33 @@ def _screen_rescore(
     sub: int = 64,
     screen_only: bool = False,  # phase profiling: stop after tile selection
     sel_rows: int = 128,  # selection granularity in rows (128 = whole tiles)
+    dim_scale: jax.Array | None = None,  # (d,) f32 per-dim int8 corpus scale
 ):
     """Pallas group-min screen + masked group selection + exact f32 rescore
     over every query block.  Returns (neg (B_pad, k_loc), ids (B_pad, k_loc),
     k_loc) in block (permuted) order — shared by the single-chip `_scan_all`
     and the per-device body of the sharded engine (which merges shards over
-    ICI before dedup)."""
+    ICI before dedup).
+
+    int8 mode (corpus_flat int8, dim_scale set): the corpus is stored as
+    x ≈ s_d · x8 (per-dim symmetric scale).  Folding s into the query —
+    q'_d = q_d·s_d, quantized with ONE batch scalar t so q_d ≈ t·q8_d/s_d —
+    makes the true dot x·q ≈ t·(x8·q8): a pure int8 MXU matmul plus one
+    scalar dequantization inside the kernel.  The selection margin absorbs
+    the quantization error exactly as it absorbs bf16 rounding; round 2
+    stays f32-exact."""
     B, d = q_perm.shape
     n_blocks, U = supers.shape
-    q_r1 = q_perm.astype(corpus_flat.dtype)
+    quantized = corpus_flat.dtype == jnp.int8
+    if quantized:
+        qp = q_perm * dim_scale[None, :]
+        t = jnp.maximum(jnp.max(jnp.abs(qp)) / 127.0, 1e-30)
+        q_r1 = jnp.clip(jnp.round(qp / t), -127, 127).astype(jnp.int8)
+        t_eff = jnp.reshape(
+            t if metric == "inner_product" else 2.0 * t, (1, 1)
+        ).astype(jnp.float32)
+    else:
+        q_r1 = q_perm.astype(corpus_flat.dtype)
     G = 128 // sel_rows  # selection groups per 128-row tile
     SG = S_TILES * G  # groups per supertile
 
@@ -219,22 +255,30 @@ def _screen_rescore(
     parts = []
     for s in range(0, n_blocks, rows_per_call):
         e = min(s + rows_per_call, n_blocks)
+        in_specs = [
+            pl.BlockSpec(
+                (qb, d), lambda i, u, sref, s=s: (s + i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (S_TILES * 128, 1), lambda i, u, sref: (sref[i, u], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands = [supers[s:e], q_rows, corpus_flat, bsq_col]
+        if quantized:
+            in_specs.append(
+                pl.BlockSpec((1, 1), lambda i, u, sref: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            operands.append(t_eff)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(e - s, U),
-            in_specs=[
-                pl.BlockSpec(
-                    (qb, d), lambda i, u, sref, s=s: (s + i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (S_TILES * 128, 1), lambda i, u, sref: (sref[i, u], 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, SG, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
             ),
@@ -242,11 +286,11 @@ def _screen_rescore(
         parts.append(
             pl.pallas_call(
                 partial(_union_groupmin_kernel, metric=metric, precision=precision,
-                        sel_rows=sel_rows),
+                        sel_rows=sel_rows, quantized=quantized),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(((e - s), U * SG, qb), jnp.float32),
                 interpret=interpret,
-            )(supers[s:e], q_rows, corpus_flat, bsq_col)
+            )(*operands)
         )
     gmin = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
@@ -342,6 +386,7 @@ def _scan_all(
     sub: int = 64,
     screen_only: bool = False,  # phase profiling: stop after tile selection
     sel_rows: int = 128,
+    dim_scale: jax.Array | None = None,  # int8 mode: per-dim corpus scale
 ):
     """(scores (B_pad, k), ids (B_pad, k)) — one device program, including
     the dedup of replicated points to k distinct neighbors."""
@@ -353,6 +398,7 @@ def _scan_all(
         q_perm, probed_p, supers, tb, corpus_flat, bsq, corpus_flat_f32, tiles_ids,
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
         interpret=interpret, sub=sub, screen_only=screen_only, sel_rows=sel_rows,
+        dim_scale=dim_scale,
     )
     if k_loc < k:  # tiny layouts: fewer candidates than k
         pad = k - k_loc
@@ -467,8 +513,19 @@ class BlockScanState:
 
     def _finish(self, corpus_flat_f32, ids, tile_bucket, metric, scan_dtype, tile, n_super):
         self.corpus_flat_f32 = corpus_flat_f32
+        self.dim_scale = None
         if scan_dtype == jnp.bfloat16:
             self.corpus_flat = self.corpus_flat_f32.astype(jnp.bfloat16)
+        elif scan_dtype == jnp.int8:
+            # symmetric per-dim quantization x ≈ s_d·x8, computed on device
+            # from the f32 copy already in HBM (¼ the f32 round-1 bytes,
+            # 2× the bf16 MXU rate; round 2 stays f32-exact)
+            quantize = jax.jit(
+                lambda x: (
+                    lambda s: (s, jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8))
+                )(jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-30) / 127.0)
+            )
+            self.dim_scale, self.corpus_flat = quantize(self.corpus_flat_f32)
         else:
             self.corpus_flat = self.corpus_flat_f32
 
@@ -541,14 +598,25 @@ def _resolve_margin(margin, scan_dtype, sel_rows: int) -> int:
     the margin's row coverage (8*128 rows) constant.  f32 group mins are
     exact — the margin only absorbs score ties there, which is
     granularity-independent.  bf16 rounding is data-dependent: re-validate
-    on new distributions (scripts/bf16_margin_sweep.py) or raise `margin`."""
+    on new distributions (scripts/bf16_margin_sweep.py) or raise `margin`.
+
+    int8 defaults to 2x the bf16 row coverage: symmetric-int8 quantization
+    error is absolute over the per-dim data range (vs bf16's relative
+    rounding) and the two error magnitudes are comparable on centered data,
+    so the wider default buys headroom until the margin sweep is re-run on
+    the serving distribution."""
     if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
         raise ValueError(
             f"sel_rows={sel_rows}: must be a divisor of the 128-row tile "
             "(the round-1 kernel emits per-group minima over sublane slices)"
         )
     if margin is None:
-        margin = 8 * (128 // sel_rows) if scan_dtype == jnp.bfloat16 else 8
+        if scan_dtype == jnp.bfloat16:
+            margin = 8 * (128 // sel_rows)
+        elif scan_dtype == jnp.int8:
+            margin = 16 * (128 // sel_rows)
+        else:
+            margin = 8
     return margin
 
 
@@ -682,6 +750,7 @@ def blocked_search(
         state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
         precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
+        dim_scale=state.dim_scale,
     )
     out = (
         np.asarray(scores[:B]),
@@ -755,6 +824,7 @@ def blocked_search_stream(
             state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
             metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=h["qb"],
             precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
+            dim_scale=state.dim_scale,
         )
 
     out_scores, out_ids, out_np, out_nd = [], [], [], []

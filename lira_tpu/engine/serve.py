@@ -148,7 +148,7 @@ class QueryEngine:
         tile: int | None = None,
         n_mul: int = 2,
         scan_impl: str = "auto",  # 'auto' | 'blocked' | 'xla' | 'pallas'
-        scan_dtype: str = "float32",  # 'float32' | 'bfloat16' (fast mode)
+        scan_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'int8' (fast modes)
         probe_cap: int | None = None,  # device-side top-M bucket selection
         block_q: int = 1024,  # blocked scan: queries per union block
         block_margin: int | None = None,  # blocked scan: extra tiles selected
@@ -161,7 +161,9 @@ class QueryEngine:
         """scan_impl:
           'blocked' — throughput path: queries grouped by top bucket share
             one DMA of each probed tile (engine/block_scan.py); bf16 mode
-            halves round-1 HBM bytes and re-ranks exactly in f32 on device.
+            halves round-1 HBM bytes and re-ranks exactly in f32 on device;
+            int8 mode quarters them and doubles the MXU rate (symmetric
+            per-dim quantized screen, exact f32 round 2 — blocked only).
           'xla'/'pallas' — per-query latency paths: bytes = each query's own
             padded ndis; bf16 mode over-fetches and re-ranks on host.
           'auto' — 'blocked' on TPU, 'xla' elsewhere (Pallas kernels run
@@ -172,11 +174,19 @@ class QueryEngine:
         self.n_mul = max(1, n_mul)
         self.scan_impl = scan_impl
         self.probe_cap = probe_cap
-        self.scan_dtype = jnp.bfloat16 if scan_dtype == "bfloat16" else jnp.float32
+        self.scan_dtype = {
+            "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16, "int8": jnp.int8,
+        }.get(str(scan_dtype), jnp.float32)
+        if self.scan_dtype == jnp.int8 and scan_impl != "blocked":
+            raise ValueError(
+                "scan_dtype='int8' is a blocked-scan screen mode (the "
+                "per-query xla/pallas paths have no quantized round 1); "
+                "use scan_impl='blocked'"
+            )
         self.block_q = block_q
         self.block_margin = block_margin
         if block_sel_rows is None:
-            block_sel_rows = 32 if self.scan_dtype == jnp.bfloat16 else 64
+            block_sel_rows = 64 if self.scan_dtype == jnp.float32 else 32
         if not (0 < block_sel_rows <= 128 and 128 % block_sel_rows == 0):
             raise ValueError(f"block_sel_rows={block_sel_rows}: must be a divisor of 128")
         self.block_sel_rows = block_sel_rows

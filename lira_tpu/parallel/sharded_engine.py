@@ -69,7 +69,7 @@ def _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm):
 
 
 def _local_blocked_scan_pallas(
-    q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids,
+    q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids, dim_scale,
     *, fetch_k: int, kg: int, k: int, metric: str, axis: str,
     qb: int, precision: str, interpret: bool, sub: int, sel_rows: int = 128,
 ):
@@ -83,7 +83,9 @@ def _local_blocked_scan_pallas(
     unions (0 pad, masked via tb);
     tb: (1, n_blocks, U*S) bucket per local union tile (-1 pad);
     corpus/corpus_f32: (1, t_pad, 128, d) local tile tables (round-1 dtype /
-    f32), t_pad a multiple of S; bsq/ids: (1, t_pad, 128).
+    f32), t_pad a multiple of S; bsq/ids: (1, t_pad, 128);
+    dim_scale: (d,) f32 replicated — per-dim int8 quantization scale of the
+    round-1 corpus (all-ones and unused unless corpus is int8).
     Returns (scores (B_pad, k), ids (B_pad, k)) in caller order."""
     supers, tb = supers[0], tb[0]
     B, d = q.shape
@@ -96,7 +98,7 @@ def _local_blocked_scan_pallas(
     neg, oid, k_loc = _screen_rescore(
         q_perm, probed_p, supers, tb, corpus, bsq, corpus_f32, ids,
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
-        interpret=interpret, sub=sub, sel_rows=sel_rows,
+        interpret=interpret, sub=sub, sel_rows=sel_rows, dim_scale=dim_scale,
     )
     return _ici_merge(neg, oid, k_loc, fetch_k, k, axis, perm)
 
@@ -244,9 +246,11 @@ class ShardedQueryEngine:
         self.block_q = block_q
         self.layout = layout
         self.tile = layout.tile
-        self.scan_dtype = jnp.bfloat16 if str(scan_dtype) in ("bfloat16", "bf16") else jnp.float32
+        self.scan_dtype = {
+            "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16, "int8": jnp.int8,
+        }.get(str(scan_dtype), jnp.float32)
         if sel_rows is None:
-            sel_rows = 32 if self.scan_dtype == jnp.bfloat16 else 64
+            sel_rows = 64 if self.scan_dtype == jnp.float32 else 32
         if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
             raise ValueError(f"sel_rows={sel_rows}: must be a divisor of 128")
         self.sel_rows = sel_rows
@@ -259,14 +263,22 @@ class ShardedQueryEngine:
             local_impl = "pallas" if (layout.tile == 128 and on_tpu) else "gather"
         if local_impl == "pallas" and layout.tile != 128:
             raise ValueError("local_impl='pallas' needs a 128-row tile layout")
+        if self.scan_dtype == jnp.int8 and local_impl != "pallas":
+            raise ValueError(
+                "scan_dtype='int8' needs local_impl='pallas' (the gather "
+                "fallback casts queries to the round-1 dtype, which is "
+                "meaningless for a quantized corpus)"
+            )
         self.local_impl = local_impl
         if margin is None:
             # blocked_search margin semantics: counted in selection groups, so
-            # the bf16 default scales with granularity to keep row coverage
-            # constant (the gather path selects whole tiles — sel_rows only
-            # shrinks groups on the Pallas path)
+            # the bf16/int8 defaults scale with granularity to keep row
+            # coverage constant (the gather path selects whole tiles —
+            # sel_rows only shrinks groups on the Pallas path)
             if self.scan_dtype == jnp.bfloat16 and local_impl == "pallas":
                 margin = 8 * (128 // sel_rows)
+            elif self.scan_dtype == jnp.int8:
+                margin = 16 * (128 // sel_rows)
             else:
                 margin = 8
         self.margin = margin
@@ -356,8 +368,28 @@ class ShardedQueryEngine:
             self.corpus_r1 = jax.jit(
                 lambda x: x.astype(jnp.bfloat16), out_shardings=shard
             )(self.corpus)
+            self.dim_scale = jnp.ones((dim,), jnp.float32)
+        elif self.scan_dtype == jnp.int8:
+            # symmetric per-dim int8 quantization with ONE GLOBAL scale
+            # (computed from the raw corpus on host, O(n·d) pass) so every
+            # shard's integer scores are commensurable before the ICI merge;
+            # round-1 HBM cost 0.25× the corpus per shard, round 2 f32-exact
+            # zero-corpus dims get a TINY scale (not 1.0): q'_d = q_d·s_d then
+            # collapses to ~0, so a dim the corpus never uses cannot inflate
+            # the query's batch quantization scale t (single-chip formulation,
+            # block_scan.BlockScanState._finish)
+            amax = np.abs(x_d).max(axis=0)
+            self.dim_scale = jnp.asarray(
+                (np.maximum(amax, 1e-30) / 127.0).astype(np.float32)
+            )
+            s = self.dim_scale
+            self.corpus_r1 = jax.jit(
+                lambda x: jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8),
+                out_shardings=shard,
+            )(self.corpus)
         else:
             self.corpus_r1 = self.corpus
+            self.dim_scale = jnp.ones((dim,), jnp.float32)
 
         self.centroids = jnp.asarray(centroids, dtype=jnp.float32)
         self.scaler_mean = jnp.asarray(scaler.mean_)
@@ -402,17 +434,22 @@ class ShardedQueryEngine:
                     precision=precision, interpret=self.interpret, sub=sub,
                     sel_rows=self.sel_rows,
                 )
+                in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
+                            P(self.axis), P(self.axis), P(self.axis),
+                            P(self.axis), P())  # trailing P(): dim_scale
             else:
                 body = partial(
                     _local_blocked_scan_all, fetch_k=fetch_k, kg=kg, k=k,
                     metric=self.metric, axis=self.axis, tile=self.tile,
                     chunk=chunk, sub=sub, qb=qb, precision=precision,
                 )
+                in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
+                            P(self.axis), P(self.axis), P(self.axis),
+                            P(self.axis))
             fn = jax.shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(self.axis), P(self.axis), P(self.axis),
-                          P(self.axis), P(self.axis), P(self.axis)),
+                in_specs=in_specs,
                 out_specs=(P(), P()),
                 check_vma=False,
             )
@@ -540,6 +577,7 @@ class ShardedQueryEngine:
                 jax.device_put(jnp.asarray(supers), shard),
                 jax.device_put(jnp.asarray(tb_s), shard),
                 self.corpus_r1, self.corpus_sq, self.corpus, self.corpus_ids,
+                self.dim_scale,
             )
         fn = self._scan_fn(fetch_k, kg, k, U, chunk, h["qb"])
         return fn(

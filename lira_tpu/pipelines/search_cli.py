@@ -31,6 +31,7 @@ def run_search(
     n_shards: int = 1,
     bundle=None,
     stream_batch: int = 0,  # > 0: pipelined search_stream at this batch size
+    scan_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'int8' screen
 ) -> list[dict]:
     art = load_index_artifacts(artifacts_dir, prefix)
     manifest = art["manifest"]
@@ -45,14 +46,20 @@ def run_search(
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded_engine import ShardedQueryEngine
 
+        # int8 is a blocked/pallas-only screen: pin the impl so the request
+        # works off-TPU too (where 'auto' would pick the per-query paths)
+        kw = dict(local_impl="pallas") if scan_dtype == "int8" else {}
         engine = ShardedQueryEngine(
             art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
             make_mesh(n_shards), metric=manifest["metric"], n_mul=manifest["n_mul"],
+            scan_dtype=scan_dtype, **kw,
         )
     else:
+        kw = dict(scan_impl="blocked") if scan_dtype == "int8" else {}
         engine = QueryEngine(
             art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
             metric=manifest["metric"], n_mul=manifest["n_mul"],
+            scan_dtype=scan_dtype, **kw,
         )
 
     thresholds = np.arange(t_min, t_max + 1e-6, t_step)
@@ -97,10 +104,15 @@ def main(argv=None):
     p.add_argument("--n_shards", type=int, default=1)
     p.add_argument("--stream_batch", type=int, default=0,
                    help="pipelined search_stream batch size (0 = one batch)")
+    p.add_argument("--scan_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="round-1 screen dtype (bfloat16/int8 halve/quarter "
+                        "the screen's HBM bytes; round 2 is always f32-exact)")
     a = p.parse_args(argv)
     run_search(
         a.artifacts_dir, a.prefix, a.dataset, a.data_path, a.k,
         a.t_min, a.t_max, a.t_step, a.n_shards, stream_batch=a.stream_batch,
+        scan_dtype=a.scan_dtype,
     )
 
 

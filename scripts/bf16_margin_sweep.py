@@ -13,7 +13,10 @@ margin.  This script measures that rate directly at 1M×128:
      the margin is counted in selection groups, so finer groups put
      128/sel_rows x more group-mins inside the bf16 rounding band — this
      section measures where misses vanish at each granularity (the engine's
-     scaled default is 8 * 128/sel_rows groups).
+     scaled default is 8 * 128/sel_rows groups);
+  4. the int8 quantized screen (scan_dtype='int8'): miss rate + QPS per
+     (granularity, margin), calibrating the engine's 16 * 128/sel_rows
+     default against the measured zero-miss point.
 
 Writes the measured table to docs/bf16_screen.md.
 
@@ -157,6 +160,37 @@ def main():
             print(f"serve bf16 sel_rows={sel_rows} margin={margin}: "
                   f"miss={r:.2e}", flush=True)
             lines.append(f"| {sel_rows} | {margin} | {r:.2e} |")
+            del eng
+
+    lines += [
+        "",
+        "## int8 quantized screen (`scan_dtype='int8'`)",
+        "",
+        "Round 1 stores the corpus as symmetric per-dim int8 (¼ the f32 HBM",
+        "bytes, int32 MXU accumulation); quantization error replaces bf16",
+        "rounding as the selection-miss mode.  Measured miss rates per",
+        "(granularity, margin) at the same operating point (engine default:",
+        "16 · 128/sel_rows groups):",
+        "",
+        "| block_sel_rows | block_margin (groups) | neighbor-set miss rate | QPS |",
+        "|---|---|---|---|",
+    ]
+    for sel_rows in (128, 32):
+        for margin in (4, 8, 16, 32, 64):
+            if sel_rows == 128 and margin > 32:
+                continue
+            eng = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                              scan_impl="blocked", scan_dtype="int8",
+                              probe_cap=128, block_margin=margin,
+                              block_sel_rows=sel_rows)
+            eng.search(x_q, thr, k)  # warmup at the measured shape
+            t0 = time.time()
+            r_b = eng.search(x_q, thr, k)
+            qps = n_q / (time.time() - t0)
+            r = miss_rate(r_b.ids, r_ref.ids)
+            print(f"serve int8 sel_rows={sel_rows} margin={margin}: "
+                  f"miss={r:.2e} qps={qps:.0f}", flush=True)
+            lines.append(f"| {sel_rows} | {margin} | {r:.2e} | {qps:.0f} |")
             del eng
 
     lines += [

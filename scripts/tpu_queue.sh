@@ -23,6 +23,7 @@ run ip_serve_bench 4800 python scripts/ip_serve_bench.py
 run bf16_margin_sweep_r3 3600 python scripts/bf16_margin_sweep.py
 # 4. QPS of margin x granularity grid (picks the measured default)
 run sel_rows_bench_r3 3600 python scripts/sel_rows_bench.py
-# 5. pipelined stream vs single-batch serving rate
-run tpu_serve_bench_stream 2400 python scripts/tpu_serve_bench.py 1000000 1024 65536 blocked 1024
+# 5. pipelined stream vs single-batch serving rate; the 'blocked' filter
+#    now also covers the int8 quantized screen (blocked-int8)
+run tpu_serve_bench_stream 4800 python scripts/tpu_serve_bench.py 1000000 1024 65536 blocked 1024
 echo "=== tpu_queue end $(date) ===" | tee -a logs/tpu_queue.log

@@ -72,6 +72,7 @@ def main():
     impls = [
         ("blocked", dict(scan_impl="blocked")),
         ("blocked-bf16", dict(scan_impl="blocked", scan_dtype="bfloat16")),
+        ("blocked-int8", dict(scan_impl="blocked", scan_dtype="int8")),
         ("xla", dict(scan_impl="xla")),
     ]
     for name, kw in impls:

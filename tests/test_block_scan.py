@@ -61,6 +61,42 @@ def test_blocked_bf16_matches(rng):
             assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
 
 
+@pytest.mark.parametrize("metric", ["L2", "inner_product"])
+def test_blocked_int8_matches(rng, metric):
+    """int8 quantized round-1 screen (symmetric per-dim corpus scale, one
+    batch query scale, int32 MXU dot) + exact f32 round 2: with the default
+    margin (16·128/sel_rows groups) the tiny layout's candidate set is
+    exhaustive, so results must be identical to the f32 per-query engine."""
+    x_q, e_ref, e_blk = _build(rng, metric, scan_dtype="int8")
+    import jax.numpy as jnp
+
+    assert e_blk._block_state.corpus_flat.dtype == jnp.int8
+    assert e_blk._block_state.dim_scale is not None
+    for thr in (0.0, 0.5):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_blk.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+
+
+def test_int8_requires_blocked_impl(rng):
+    """The per-query xla/pallas paths have no quantized round 1."""
+    from lira_tpu.engine.serve import QueryEngine
+
+    x_q, e_ref, _ = _build(rng, "L2", n=256)
+
+    class _Scaler:
+        mean_ = np.asarray(e_ref.scaler_mean)
+        scale_ = np.asarray(e_ref.scaler_scale)
+
+    with pytest.raises(ValueError, match="int8"):
+        QueryEngine(
+            e_ref._x_d, e_ref.layout, np.asarray(e_ref.centroids),
+            _Scaler(), e_ref.params, scan_impl="xla", scan_dtype="int8",
+        )
+
+
 def test_blocked_small_block_q(rng):
     """Tail blocks (B not a multiple of block_q) must pad correctly."""
     x_q, e_ref, e_blk = _build(rng, "L2", block_q=16)

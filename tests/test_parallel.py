@@ -238,6 +238,45 @@ def test_sharded_bf16_matches_f32(impl):
 
 
 @needs_8
+def test_sharded_int8_matches_f32():
+    """int8 quantized round-1 screen sharded over the mesh: the global
+    per-dim scale keeps shard scores commensurable at the ICI merge, the
+    default margin is exhaustive on this tiny layout — results must be
+    identical to the sharded f32 engine AND to the single-chip int8 engine."""
+    from lira_tpu.engine.serve import QueryEngine
+    import jax.numpy as jnp
+
+    x_d, x_q, layout, km, scaler, params = _small_index(seed=13)
+    mesh = make_mesh(8)
+    f32 = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                             local_impl="pallas")
+    i8 = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                            local_impl="pallas", scan_dtype="int8")
+    assert i8.corpus_r1.dtype == jnp.int8
+    chip = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                       scan_impl="blocked", scan_dtype="int8")
+    for thr in (0.0, 0.6):
+        r1 = f32.search(x_q, thr, k=5)
+        r2 = i8.search(x_q, thr, k=5)
+        rc = chip.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        np.testing.assert_array_equal(rc.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            ref = set(r1.ids[i][r1.ids[i] >= 0])
+            assert ref == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+            assert ref == set(rc.ids[i][rc.ids[i] >= 0]), (thr, i)
+
+
+@needs_8
+def test_sharded_int8_rejects_gather_impl():
+    x_d, x_q, layout, km, scaler, params = _small_index(seed=13)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="int8"):
+        ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                           local_impl="gather", scan_dtype="int8")
+
+
+@needs_8
 def test_sharded_prober_matches_single_chip_ivf():
     """Pluggable prober: the sharded engine with the IVF centroid-rank prober
     must match the single-chip QueryEngine with the same prober."""

@@ -57,6 +57,17 @@ def test_build_index_and_search_cli(tmp_path):
     assert rows[0]["avg_recall"] >= rows[-1]["avg_recall"] - 1e-9
     assert all(r["qps"] > 0 for r in rows)
 
+    # int8 screen through the CLI surface: the flag must pin the blocked
+    # impl off-TPU and the sweep must match f32 exactly (default margin is
+    # exhaustive at this scale; round 2 is f32-exact)
+    rows8 = run_search(
+        out_dir, cfg.file_name, "synthetic", data_path=str(tmp_path),
+        k=5, t_min=0.1, t_max=0.5, t_step=0.2, bundle=bundle, scan_dtype="int8",
+    )
+    for a, b in zip(rows, rows8):
+        assert a["avg_cmp"] == b["avg_cmp"]
+        assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
+
 
 def test_compute_knn_cli(tmp_path):
     from lira_tpu.pipelines.compute_knn_cli import main as knn_main
