@@ -15,10 +15,13 @@ module never materializes it:
   (tile-granular gathers run at full HBM bandwidth, unlike row gathers),
   recompute their scores at high precision, exact top-k.
 
-Round 1 may run the matmul at bf16 input precision ("fast" mode): the
-selection margin absorbs bf16 rounding of the group mins, and round 2
-re-ranks at f32 — misses are possible only when > margin groups have
-bf16-mins within rounding error of the k-th value.
+Round 1 may run the matmul at bf16 input precision ("fast" mode) or on a
+symmetric per-dim int8 quantization of the corpus ("int8": ¼ the sweep's
+HBM bytes, int32 MXU accumulation — the serving engine's screen
+formulation, engine/block_scan.py): the selection margin absorbs the
+rounding/quantization of the group mins, and round 2 re-ranks at f32 —
+misses are possible only when > margin groups have approximate mins
+within error of the k-th value.
 """
 
 from __future__ import annotations
@@ -33,32 +36,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, out_ref, *, precision, metric):
+def _groupmin_kernel(q_ref, chunk_ref, bsq_ref, *rest, precision, metric,
+                     quantized=False):
     """One (q_block × corpus-chunk) step: distance block → per-tile min.
 
     The group-min matrix is emitted *transposed* — (n_groups, Q) — so each
     step's (16, q_block) output block satisfies the TPU (8, 128) block
     alignment (a (q_block, 16) block would put 16 in the lane dimension).
+
+    quantized=True: q/chunk arrive int8 (per-dim corpus scale folded into
+    the query, engine/block_scan._screen_rescore's formulation), the dot
+    accumulates int32 on the MXU, and `rest` carries one extra SMEM scalar
+    — the dequantization factor t (×2 for L2).
     """
-    dot = jax.lax.dot_general(
-        q_ref[...], chunk_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # (QB, CB)
-    qb, cb = dot.shape
-    if metric == "inner_product":
+    if quantized:
+        t_ref, out_ref = rest
+        doti = jax.lax.dot_general(
+            q_ref[...], chunk_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (QB, CB)
+        dot = t_ref[0, 0] * doti.astype(jnp.float32)
+        qb, cb = dot.shape
         scores = bsq_ref[...].reshape(cb)[None, :] - dot
     else:
-        scores = bsq_ref[...].reshape(cb)[None, :] - 2.0 * dot
+        (out_ref,) = rest
+        dot = jax.lax.dot_general(
+            q_ref[...], chunk_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (QB, CB)
+        qb, cb = dot.shape
+        if metric == "inner_product":
+            scores = bsq_ref[...].reshape(cb)[None, :] - dot
+        else:
+            scores = bsq_ref[...].reshape(cb)[None, :] - 2.0 * dot
     gmin = scores.reshape(qb, cb // 128, 128).min(axis=-1)  # (QB, 16)
     out_ref[...] = gmin.T
 
 
 @partial(jax.jit, static_argnames=("metric", "kg", "q_block", "c_block", "precision", "interpret"))
 def _round1_select(
-    q: jax.Array,  # (Q, d)
-    base: jax.Array,  # (n_pad, d)
+    q: jax.Array,  # (Q, d) — f32, or int8 when t is given
+    base: jax.Array,  # (n_pad, d) — f32, or int8 when t is given
     base_sq: jax.Array,  # (n_groups, 128) norms (or penalty)
     metric: str,
     kg: int,
@@ -66,28 +87,38 @@ def _round1_select(
     c_block: int = 2048,
     precision: str = "default",
     interpret: bool = False,
+    t: jax.Array | None = None,  # (1, 1) f32 — int8 dequantization scalar
 ) -> jax.Array:
     """(Q, kg) int32 — per query, the kg tiles guaranteed* to hold its top-k."""
     Q, d = q.shape
     n_pad = base.shape[0]
     n_groups = n_pad // 128
+    quantized = t is not None
     if precision not in ("default", "highest"):
         precision = "highest"  # Mosaic's dot lowering supports only these two
 
+    in_specs = [
+        pl.BlockSpec((q_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_block // 128, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, base, base_sq]
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(t)
     gmin_t = pl.pallas_call(
-        partial(_groupmin_kernel, precision=precision, metric=metric),
+        partial(_groupmin_kernel, precision=precision, metric=metric,
+                quantized=quantized),
         grid=(Q // q_block, n_pad // c_block),
-        in_specs=[
-            pl.BlockSpec((q_block, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_block, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_block // 128, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (c_block // 128, q_block), lambda i, j: (j, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_groups, Q), jnp.float32),
         interpret=interpret,
-    )(q, base, base_sq)
+    )(*operands)
 
     _, gsel = jax.lax.top_k(-gmin_t.T, min(kg, n_groups))
     return gsel.astype(jnp.int32)
@@ -141,17 +172,25 @@ def knn_fused(
     k: int,
     metric: str = "L2",
     q_tile: int = 8192,
-    margin: int = 8,
+    margin: int | None = None,
     precision: str = "default",
     interpret: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Two-round kNN. Returns (scores, ids) ranking scores as ops.knn.exact_knn.
 
     `precision="default"` runs the round-1 sweep at bf16 input precision
-    (round 2 re-ranks at f32); use "highest" for fully-f32 selection.
+    (round 2 re-ranks at f32); "highest" is fully-f32 selection; "int8"
+    quantizes the round-1 corpus to symmetric per-dim int8 (¼ the HBM
+    bytes per sweep — the sweep re-reads the whole corpus once per
+    512-query block, so the one-time quantization pass amortizes ~Q/512×)
+    with the engine's int8-screen formulation (block_scan._screen_rescore).
+    Round 2 always re-ranks at f32.  `margin=None` → 8, or 16 for int8
+    (2× coverage for quantization error, as in the serving engine).
     """
     if interpret is None:
         interpret = _auto_interpret()
+    if margin is None:
+        margin = 16 if precision == "int8" else 8
     base = jnp.asarray(base, jnp.float32)
     n, d = base.shape
     n_pad = ((n + 2047) // 2048) * 2048  # round-1 chunk size
@@ -175,13 +214,35 @@ def knn_fused(
     q_tile = min(q_tile, max(512, nq))
     q_tile = ((q_tile + 511) // 512) * 512
 
+    if precision == "int8":
+        # one-time symmetric per-dim quantization of the sweep corpus
+        # (round 2 rescans the f32 `tiles`); scale folded into each query
+        # tile below with one per-tile scalar t — see _groupmin_kernel
+        dim_scale = jnp.maximum(jnp.max(jnp.abs(base_p), axis=0), 1e-30) / 127.0
+        base_r1 = jnp.clip(jnp.round(base_p / dim_scale), -127, 127).astype(jnp.int8)
+    else:
+        base_r1 = base_p
+
     out_s, out_i = [], []
     for s in range(0, nq, q_tile):
         e = min(s + q_tile, nq)
         qt = jnp.zeros((q_tile, d), jnp.float32).at[: e - s].set(query[s:e])
-        gsel = _round1_select(
-            qt, base_p, bsq_g, metric, kg, precision=precision, interpret=interpret
-        )
+        if precision == "int8":
+            qp = qt * dim_scale[None, :]
+            t = jnp.maximum(jnp.max(jnp.abs(qp)) / 127.0, 1e-30)
+            qt_r1 = jnp.clip(jnp.round(qp / t), -127, 127).astype(jnp.int8)
+            t_eff = jnp.reshape(
+                t if metric == "inner_product" else 2.0 * t, (1, 1)
+            ).astype(jnp.float32)
+            gsel = _round1_select(
+                qt_r1, base_r1, bsq_g, metric, kg, precision="default",
+                interpret=interpret, t=t_eff,
+            )
+        else:
+            gsel = _round1_select(
+                qt, base_p, bsq_g, metric, kg, precision=precision,
+                interpret=interpret,
+            )
         sc, ids = _round2_rescan(qt, gsel, tiles, bsq_g, metric, min(k, n), sub=min(512, q_tile))
         out_s.append(sc[: e - s])
         out_i.append(ids[: e - s])
@@ -193,7 +254,8 @@ def knn_fused(
 
 def self_knn_fused(
     base, k: int, metric: str = "L2", q_tile: int = 8192,
-    margin: int = 8, precision: str = "default", interpret: bool | None = None,
+    margin: int | None = None, precision: str = "default",
+    interpret: bool | None = None,
 ) -> np.ndarray:
     """Self-kNN via the fused path; same contract as ops.knn.self_knn."""
     from .knn import drop_self

@@ -97,6 +97,21 @@ def main():
         print(f"knn_fused margin={margin}: miss={r:.2e} ({dt:.2f}s)", flush=True)
         lines.append(f"| {margin} | {r:.2e} | {dt:.2f} |")
 
+    lines += [
+        "",
+        "## knn_fused (`precision='int8'` quantized sweep)",
+        "",
+        "| margin (extra tiles) | missed-neighbor rate | wall s |",
+        "|---|---|---|",
+    ]
+    for margin in (4, 8, 16, 32, 64):
+        t0 = time.time()
+        _, ids_m = knn_fused(x_d, x_q, k, margin=margin, precision="int8")
+        dt = time.time() - t0
+        r = miss_rate(ids_m, ids_exact)
+        print(f"knn_fused int8 margin={margin}: miss={r:.2e} ({dt:.2f}s)", flush=True)
+        lines.append(f"| {margin} | {r:.2e} | {dt:.2f} |")
+
     # serving engine: bf16 blocked vs f32 blocked at a mid threshold
     km = kmeans_fit(x_d, n_bkt, niter=10, seed=43)
     assign = kmeans_assign(x_d, km.centroids)

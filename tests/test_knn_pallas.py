@@ -14,6 +14,29 @@ def test_knn_fused_matches_oracle(rng):
     np.testing.assert_array_equal(ids, expected)
 
 
+@pytest.mark.parametrize("metric", ["L2", "inner_product"])
+def test_knn_fused_int8(rng, metric):
+    """int8 round-1 sweep + f32 round-2 rescan.  With an exhaustive margin
+    (kg covers all 24 tiles) selection cannot miss, so results must match
+    the exact oracle bit-for-bit regardless of quantization error; at the
+    default margin (16) misses are possible in principle but must be rare
+    on this scale."""
+    base = rng.normal(size=(3000, 16)).astype(np.float32)
+    query = rng.normal(size=(50, 16)).astype(np.float32)
+    if metric == "inner_product":
+        expected = np.argsort(-(query @ base.T), axis=1, kind="stable")[:, :5]
+    else:
+        d = cdist(query, base, metric="sqeuclidean")
+        expected = np.argsort(d, axis=1, kind="stable")[:, :5]
+    _, ids = knn_fused(base, query, k=5, metric=metric, interpret=True,
+                       precision="int8", margin=24)
+    np.testing.assert_array_equal(ids, expected)
+    _, ids_def = knn_fused(base, query, k=5, metric=metric, interpret=True,
+                           precision="int8")
+    recall = (ids_def[:, :, None] == expected[:, None, :]).any(1).mean()
+    assert recall >= 0.98, recall
+
+
 def test_knn_fused_ip(rng):
     base = rng.normal(size=(2100, 8)).astype(np.float32)
     query = rng.normal(size=(20, 8)).astype(np.float32)
