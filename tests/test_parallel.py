@@ -238,6 +238,45 @@ def test_sharded_bf16_matches_f32(impl):
 
 
 @needs_8
+def test_sharded_kmeans_matches_single_chip():
+    """Corpus-sharded Lloyd (psum of per-centroid sums/counts over the mesh)
+    must agree with the single-chip _lloyd from the same init: one step to
+    float-accumulation error, the 5-iter objective closely, and assignment
+    bitwise (same per-row argmin; the mesh only splits the row space)."""
+    import jax.numpy as jnp
+    from lira_tpu.parallel.sharded_kmeans import (
+        sharded_kmeans_assign, sharded_kmeans_fit,
+    )
+    from lira_tpu.partition.kmeans import _lloyd, kmeans_assign
+
+    rng = np.random.default_rng(5)
+    n, d, n_bkt = 997, 16, 12  # uneven n: exercises shard padding weights
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    init = x[:n_bkt].copy()
+    reseed_idx = np.arange(100, 100 + n_bkt)
+    mesh = make_mesh(8)
+
+    for niter, tol in ((1, 1e-5), (5, 1e-3)):
+        c1, obj1 = _lloyd(
+            jnp.asarray(x), jnp.asarray(init), jnp.asarray(reseed_idx),
+            n_bkt, niter, n_chunks=1,
+        )
+        km8 = sharded_kmeans_fit(
+            x, n_bkt, mesh, niter=niter, init_centroids=init,
+            reseed_vectors=x[reseed_idx],
+        )
+        np.testing.assert_allclose(km8.centroids, np.asarray(c1), rtol=tol, atol=tol)
+        np.testing.assert_allclose(
+            km8.objective[-1], float(np.asarray(obj1)[-1]), rtol=1e-4
+        )
+    assert (np.diff(km8.objective) <= 1e-6).all()  # Lloyd monotone
+
+    a1 = kmeans_assign(x, km8.centroids)
+    a8 = sharded_kmeans_assign(x, km8.centroids, mesh)
+    np.testing.assert_array_equal(a1, a8)
+
+
+@needs_8
 def test_sharded_int8_matches_f32():
     """int8 quantized round-1 screen sharded over the mesh: the global
     per-dim scale keeps shard scores commensurable at the ICI merge, the
