@@ -182,3 +182,28 @@ def run_distributed(
         }
     )
     return results
+
+
+def main(argv=None):
+    """CLI: `python -m lira_tpu.pipelines.distributed --n_shards 8 ...`
+    (same Config flags as the smallscale pipeline + the mesh size)."""
+    import os
+    import sys
+
+    from ..config import parse_config
+    from ..parallel.mesh import make_mesh
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    n_shards = 8
+    if "--n_shards" in argv:
+        i = argv.index("--n_shards")
+        n_shards = int(argv[i + 1])
+        del argv[i : i + 2]
+    cfg = parse_config(argv)
+    os.makedirs(cfg.pth_log, exist_ok=True)
+    with open(os.path.join(cfg.pth_log, cfg.log_name), "a", encoding="utf-8") as fw:
+        run_distributed(cfg, make_mesh(n_shards), log_file=fw)
+
+
+if __name__ == "__main__":
+    main()
