@@ -168,14 +168,24 @@ def serving_bench():
         log(f"oracle check[{scan_dtype}]: neighbor sets exact on 64 sampled queries")
         return qps
 
-    # headline: bf16 screen + exact f32 on-device re-rank (zero measured
-    # misses at this margin, docs/bf16_screen.md), oracle-asserted above;
-    # fall back to the all-f32 engine if the oracle ever trips
-    try:
-        qps = measure("bfloat16")
-    except AssertionError as exc:
-        log(f"bf16 oracle failed ({exc}); falling back to f32 engine")
-        qps = measure("float32")
+    # headline: fastest oracle-exact screen wins — int8 (¼ the screen's HBM
+    # bytes, int32 MXU) → bf16 (½, zero measured misses at this margin,
+    # docs/bf16_screen.md) → all-f32.  Every candidate must pass the 64-query
+    # exact-neighbor oracle above; a screen whose margin misses a tile on
+    # this distribution trips the assertion and the next dtype is measured.
+    qps = None
+    for dtype in ("int8", "bfloat16", "float32"):
+        try:
+            cand = measure(dtype)
+        except AssertionError as exc:
+            log(f"{dtype} oracle failed ({exc}); trying the next screen dtype")
+            continue
+        if qps is None or cand > qps:
+            qps = cand
+        if dtype != "int8":
+            break  # int8 may lose to bf16 (rescore-bound); f32 never beats bf16
+    if qps is None:
+        raise AssertionError("every screen dtype failed the oracle")
 
     baseline = ref_cpu_qps()
     print(json.dumps({

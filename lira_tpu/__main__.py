@@ -7,6 +7,8 @@ Commands (each forwards to the matching pipeline module):
     search       load artifacts and run the serving threshold sweep
     knn          offline self-kNN precompute (exact or IVF-approximate)
     extract-k1   derive a smaller-k cache from an existing one
+    distributed  multi-chip pipeline: sharded kNN/K-Means, DP training,
+                 sharded serving sweep (--n_shards)
     batch        run an experiment grid over datasets × n_bkt
     parity       run pipeline + sweeps on a real dataset, diff vs a
                  reference-produced threshold-sweep CSV
@@ -21,6 +23,7 @@ COMMANDS = {
     "search": ("lira_tpu.pipelines.search_cli", "main"),
     "knn": ("lira_tpu.pipelines.compute_knn_cli", "main"),
     "extract-k1": ("lira_tpu.pipelines.extract_k1", "main"),
+    "distributed": ("lira_tpu.pipelines.distributed", "main"),
     "batch": ("lira_tpu.pipelines.batch", "main"),
     "parity": ("lira_tpu.pipelines.parity", "main"),
 }

@@ -237,6 +237,17 @@ def test_stream_matches_sequential_batches(rng):
         np.testing.assert_array_equal(r_seq.ndis, r_str.ndis)
 
 
+def test_stream_int8_matches_search(rng):
+    """Stream path through the int8 quantized screen: bit-identical to
+    per-batch search (same device programs, different dispatch order)."""
+    x_q, e_ref, e_blk8 = _build(rng, "L2", scan_dtype="int8")
+    x_many = rng.normal(size=(100, x_q.shape[1])).astype(np.float32)
+    r_seq = e_blk8.search(x_many, 0.4, k=5)
+    r_str = e_blk8.search_stream(x_many, 0.4, k=5, batch_size=32)
+    np.testing.assert_array_equal(r_seq.ids, r_str.ids)
+    np.testing.assert_array_equal(r_seq.ndis, r_str.ndis)
+
+
 def test_stream_bf16_and_prober(rng):
     """Stream path through the bf16 screen and the pluggable-prober branch."""
     x_q, e_ref, e_blk16 = _build(rng, "L2", scan_dtype="bfloat16")
