@@ -1,6 +1,7 @@
 from .scan import bucket_topk, BucketCorpus
 from .sweep import threshold_sweep, gt_hit_tensor, SweepRow
 from .serve import QueryEngine
+from .calibrate import calibrate_block_margin, MarginCalibration
 
 __all__ = [
     "bucket_topk",
@@ -9,4 +10,6 @@ __all__ = [
     "gt_hit_tensor",
     "SweepRow",
     "QueryEngine",
+    "calibrate_block_margin",
+    "MarginCalibration",
 ]
