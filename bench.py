@@ -177,8 +177,12 @@ def serving_bench():
     for dtype in ("int8", "bfloat16", "float32"):
         try:
             cand = measure(dtype)
-        except AssertionError as exc:
-            log(f"{dtype} oracle failed ({exc}); trying the next screen dtype")
+        except Exception as exc:
+            # oracle miss OR a per-dtype compile failure (e.g. the int8
+            # Mosaic lowering on an older chip) — never let one dtype's
+            # failure demote the whole serving bench to the kNN fallback
+            log(f"{dtype} engine failed ({type(exc).__name__}: {exc}); "
+                "trying the next screen dtype")
             continue
         if qps is None or cand > qps:
             qps = cand
