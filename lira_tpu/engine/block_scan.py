@@ -432,12 +432,23 @@ def _align_ids(padded_ids, n_rows: int, tile: int):
 class BlockScanState:
     """Device-resident round-1/round-2 corpus views for the blocked scan.
 
-    HBM cost: one f32 corpus copy (round 2), plus a bf16 copy when
-    scan_dtype is bfloat16 (round 1) — 1.0× / 1.5× the corpus.  All other
-    state (norms, ids, bucket map) is O(n/128 · 128 · 8 B).
+    HBM cost: one f32 corpus copy (round 2), plus a bf16 (int8) copy when
+    scan_dtype is bfloat16 (int8) — 1.0× / 1.5× / 1.25× the corpus.  All
+    other state (norms, ids, bucket map) is O(n/128 · 128 · 8 B).
+
+    `store_f32=False` (bf16 only) is the CAPACITY mode: the bf16 table is
+    shared by both rounds — 0.5× the corpus in HBM, doubling rows-per-chip
+    vs all-f32 — and the round-2 rescore accumulates in f32 from bf16
+    inputs.  The final exact ordering comes from the caller's host-side
+    f32 re-rank over the fetched candidates (QueryEngine._rerank_f32, the
+    same contract as the per-query xla bf16 mode): the candidate SET can
+    in principle lose a true neighbor to bf16 rounding past the over-fetch
+    slack, which the dedicated slack absorbs in practice (the xla-path
+    +16-slot rule; measured zero misses, docs/bf16_screen.md).
     """
 
-    def __init__(self, padded_host, padded_ids, tile_bucket, metric, scan_dtype, tile=128):
+    def __init__(self, padded_host, padded_ids, tile_bucket, metric, scan_dtype,
+                 tile=128, store_f32=True):
         """padded_host: (padded_total, d) f32 host array (layout.gather_vectors);
         padded_ids: (padded_total,) int32 global ids, -1 = padding."""
         n_rows, d = padded_host.shape
@@ -446,9 +457,21 @@ class BlockScanState:
             padded_host = np.concatenate(
                 [padded_host, np.zeros((pad_rows, d), np.float32)]
             )
+        capacity = not store_f32 and scan_dtype == jnp.bfloat16
+        if capacity:
+            # upload the table in bf16 directly: device HBM peak is 0.5×
+            # the corpus end to end; exact row norms come from the f32 host
+            # array (no f32 device copy exists to reduce)
+            from ..ops.distance import row_sqnorms
+
+            corpus_dev = jnp.asarray(padded_host.astype(jnp.bfloat16))
+            norms_rows = row_sqnorms(padded_host)
+        else:
+            corpus_dev = jnp.asarray(padded_host, jnp.float32)
+            norms_rows = None
         self._finish(
-            jnp.asarray(padded_host, jnp.float32), ids, tile_bucket, metric,
-            scan_dtype, tile, n_super,
+            corpus_dev, ids, tile_bucket, metric, scan_dtype, tile, n_super,
+            store_f32=store_f32, norms_rows=norms_rows,
         )
 
     @classmethod
@@ -461,6 +484,7 @@ class BlockScanState:
         scan_dtype,
         tile: int = 128,
         chunk_rows: int = 1 << 21,
+        store_f32: bool = True,
     ) -> "BlockScanState":
         """Build the padded table ON DEVICE from the raw corpus.
 
@@ -477,6 +501,7 @@ class BlockScanState:
         n, d = x_d.shape
         ids, n_super, _ = _align_ids(padded_ids, len(padded_ids), tile)
         rows_total = n_super * S_TILES * tile
+        capacity = not store_f32 and scan_dtype == jnp.bfloat16
 
         order = np.argsort(ids, kind="stable")
         first = np.searchsorted(ids[order], 0, side="left")
@@ -487,10 +512,12 @@ class BlockScanState:
         # out-of-bounds row and are dropped): the jitted scatter compiles
         # O(log) times across chunks instead of once per distinct (hi-lo)
         scatter = jax.jit(
-            lambda o, pos, vals, src: o.at[pos].set(vals[src], mode="drop"),
+            lambda o, pos, vals, src: o.at[pos].set(vals[src].astype(o.dtype), mode="drop"),
             donate_argnums=(0,),
         )
-        out = jnp.zeros((rows_total, d), jnp.float32)
+        # capacity mode scatters straight into a bf16 table: device HBM peak
+        # stays 0.5× the corpus through the whole build
+        out = jnp.zeros((rows_total, d), jnp.bfloat16 if capacity else jnp.float32)
         for s in range(0, n, chunk_rows):
             e = min(s + chunk_rows, n)
             lo = int(np.searchsorted(sorted_src, s, side="left"))
@@ -508,18 +535,42 @@ class BlockScanState:
                 jnp.asarray(np.ascontiguousarray(x_d[s:e], np.float32)),
                 jnp.asarray(src_p),
             )
-        self._finish(out, ids, tile_bucket, metric, scan_dtype, tile, n_super)
+        norms_rows = None
+        if capacity and metric != "inner_product":
+            # exact f32 norms host-side (no f32 device copy exists): one
+            # O(n·d) pass over the raw corpus + a scatter by padded position
+            from ..ops.distance import row_sqnorms
+
+            nv = row_sqnorms(x_d)  # (n,)
+            norms_rows = np.zeros(rows_total, np.float32)
+            norms_rows[sorted_pos] = nv[sorted_src]
+        self._finish(out, ids, tile_bucket, metric, scan_dtype, tile, n_super,
+                     store_f32=store_f32, norms_rows=norms_rows)
         return self
 
-    def _finish(self, corpus_flat_f32, ids, tile_bucket, metric, scan_dtype, tile, n_super):
-        self.corpus_flat_f32 = corpus_flat_f32
+    def _finish(self, corpus_dev, ids, tile_bucket, metric, scan_dtype,
+                tile, n_super, store_f32=True, norms_rows=None):
+        """corpus_dev: the padded table on device — f32 normally, or already
+        bf16 from a capacity-mode builder (store_f32=False, so no f32 copy
+        ever exists on device).  norms_rows: optional (rows_total,) f32 host
+        exact row norms (capacity builders compute them host-side since no
+        f32 device copy is available to reduce)."""
+        self.store_f32 = store_f32 or scan_dtype != jnp.bfloat16
         self.dim_scale = None
         if scan_dtype == jnp.bfloat16:
-            self.corpus_flat = self.corpus_flat_f32.astype(jnp.bfloat16)
+            if not self.store_f32:
+                # capacity mode: ONE bf16 table serves both rounds — 0.5×
+                # the corpus in HBM; round 2 accumulates f32 from bf16
+                self.corpus_flat = corpus_dev.astype(jnp.bfloat16)
+                self.corpus_flat_f32 = self.corpus_flat
+            else:
+                self.corpus_flat_f32 = corpus_dev
+                self.corpus_flat = corpus_dev.astype(jnp.bfloat16)
         elif scan_dtype == jnp.int8:
             # symmetric per-dim quantization x ≈ s_d·x8, computed on device
             # from the f32 copy already in HBM (¼ the f32 round-1 bytes,
             # 2× the bf16 MXU rate; round 2 stays f32-exact)
+            self.corpus_flat_f32 = corpus_dev
             quantize = jax.jit(
                 lambda x: (
                     lambda s: (s, jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8))
@@ -527,19 +578,25 @@ class BlockScanState:
             )
             self.dim_scale, self.corpus_flat = quantize(self.corpus_flat_f32)
         else:
-            self.corpus_flat = self.corpus_flat_f32
+            self.corpus_flat_f32 = corpus_dev
+            self.corpus_flat = corpus_dev
 
         self.tiles_ids = jnp.asarray(ids.reshape(n_super * S_TILES, tile))
         if metric == "inner_product":
             sq = jnp.where(self.tiles_ids >= 0, 0.0, _BIG).astype(jnp.float32)
         else:
-            # norms from the corpus copy already in HBM — feeding the host
-            # array through a device op would upload the corpus a second
-            # time (~30 min at 10M rows on a tunneled rig)
-            norms = jnp.einsum(
-                "nd,nd->n", self.corpus_flat_f32, self.corpus_flat_f32,
-                precision="highest", preferred_element_type=jnp.float32,
-            ).reshape(n_super * S_TILES, tile)
+            if norms_rows is not None:
+                norms = jnp.asarray(
+                    np.asarray(norms_rows, np.float32).reshape(n_super * S_TILES, tile)
+                )
+            else:
+                # norms from the corpus copy already in HBM — feeding the
+                # host array through a device op would upload the corpus a
+                # second time (~30 min at 10M rows on a tunneled rig)
+                norms = jnp.einsum(
+                    "nd,nd->n", self.corpus_flat_f32, self.corpus_flat_f32,
+                    precision="highest", preferred_element_type=jnp.float32,
+                ).reshape(n_super * S_TILES, tile)
             sq = jnp.where(self.tiles_ids >= 0, norms, _BIG)
         self.bsq = sq
 

@@ -157,6 +157,11 @@ class QueryEngine:
         # (None → measured optimum 32 for bf16 / 64 for f32; 32/64 shrink
         # round-2 gather traffic 4×/2×, scripts/sel_rows_bench.py:
         # +29%/+11% QPS at the 0.8%-ndis point on 1M×128)
+        store_f32: bool = True,  # False (bf16 blocked only) = CAPACITY mode:
+        # one bf16 table serves both rounds — 0.5× the corpus in HBM (vs
+        # 1.5× bf16 / 1.0× f32), doubling rows-per-chip; final ordering is
+        # restored by a host f32 re-rank over the over-fetched candidates
+        # (the per-query xla bf16 contract)
     ):
         """scan_impl:
           'blocked' — throughput path: queries grouped by top bucket share
@@ -183,6 +188,15 @@ class QueryEngine:
                 "per-query xla/pallas paths have no quantized round 1); "
                 "use scan_impl='blocked'"
             )
+        if not store_f32 and not (
+            self.scan_dtype == jnp.bfloat16 and scan_impl == "blocked"
+        ):
+            raise ValueError(
+                "store_f32=False (capacity mode) requires scan_impl='blocked' "
+                "with scan_dtype='bfloat16' — the bf16 table is the only "
+                "corpus copy, so both rounds must be able to read it"
+            )
+        self.store_f32 = store_f32
         self.block_q = block_q
         self.block_margin = block_margin
         if block_sel_rows is None:
@@ -223,7 +237,7 @@ class QueryEngine:
             # and stages no full-size host temporary
             self._block_state = BlockScanState.from_corpus(
                 x_d, layout.padded_ids, tile_bucket, metric, self.scan_dtype,
-                tile=self.tile,
+                tile=self.tile, store_f32=store_f32,
             )
             self.corpus = None  # per-query scan corpora not materialized
             self.corpus_ids = self.corpus_sq = None
@@ -366,11 +380,21 @@ class QueryEngine:
             from .block_scan import blocked_search
 
             fetch_k = k * self.n_mul  # dedup slots; round 2 is f32-exact
+            # capacity mode: round 2 ranked from bf16 inputs — keep extra
+            # distinct candidates and restore exact order on host (the
+            # per-query xla bf16 rule: +16 slots absorbs bf16 rank jitter)
+            kk = k if self.store_f32 else fetch_k + 16
             scores, ids, nprobe, ndis = blocked_search(
-                self._block_state, self, queries, threshold, fetch_k, k,
+                self._block_state, self, queries, threshold,
+                max(fetch_k, kk), kk,
                 block_q=self.block_q, margin=self.block_margin,
                 sel_rows=self.block_sel_rows,
             )
+            if not self.store_f32:
+                # exact f32 ordering from the raw host corpus; -1 slots
+                # carry +inf and sort last (the xla bf16 path's convention)
+                ids, scores = self._rerank_f32(queries, ids, scores)
+                ids, scores = ids[:, :k], scores[:, :k]
             return SearchResult(
                 ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
                 elapsed=time.perf_counter() - t0,
@@ -399,11 +423,17 @@ class QueryEngine:
         if self.scan_impl == "blocked":
             from .block_scan import blocked_search_stream
 
+            fetch_k = k * self.n_mul
+            kk = k if self.store_f32 else fetch_k + 16
             scores, ids, nprobe, ndis = blocked_search_stream(
-                self._block_state, self, queries, threshold, k * self.n_mul, k,
+                self._block_state, self, queries, threshold,
+                max(fetch_k, kk), kk,
                 batch_size=batch_size, block_q=self.block_q,
                 margin=self.block_margin, sel_rows=self.block_sel_rows,
             )
+            if not self.store_f32:
+                ids, scores = self._rerank_f32(queries, ids, scores)
+                ids, scores = ids[:, :k], scores[:, :k]
             return SearchResult(
                 ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
                 elapsed=time.perf_counter() - t0,

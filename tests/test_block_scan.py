@@ -237,6 +237,51 @@ def test_stream_matches_sequential_batches(rng):
         np.testing.assert_array_equal(r_seq.ndis, r_str.ndis)
 
 
+def test_capacity_mode_matches_f32(rng):
+    """store_f32=False (capacity mode): one bf16 table serves both rounds
+    (0.5× corpus HBM) with a host f32 re-rank over over-fetched candidates.
+    On this tiny corpus the default margin + slack are exhaustive, so
+    neighbor sets AND exact scores must match the all-f32 engine."""
+    from lira_tpu.engine.serve import QueryEngine
+    import jax.numpy as jnp
+
+    x_q, e_ref, e_cap = _build(rng, "L2", scan_dtype="bfloat16", store_f32=False)
+    assert e_cap._block_state.corpus_flat_f32.dtype == jnp.bfloat16  # no f32 copy
+    assert e_cap._block_state.corpus_flat is e_cap._block_state.corpus_flat_f32
+    for thr in (0.0, 0.5):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_cap.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+        # exact host re-rank: scores of valid slots agree with the f32 engine
+        valid = r2.ids >= 0
+        np.testing.assert_allclose(
+            np.where(valid, r2.scores, 0), np.where(valid, r1.scores, 0),
+            rtol=1e-5, atol=1e-4,
+        )
+    # stream path shares the over-fetch + re-rank
+    x_many = rng.normal(size=(100, x_q.shape[1])).astype(np.float32)
+    r_seq = e_cap.search(x_many, 0.4, k=5)
+    r_str = e_cap.search_stream(x_many, 0.4, k=5, batch_size=32)
+    np.testing.assert_array_equal(r_seq.ids, r_str.ids)
+
+
+def test_capacity_mode_requires_bf16_blocked(rng):
+    from lira_tpu.engine.serve import QueryEngine
+
+    x_q, e_ref, _ = _build(rng, "L2", n=256)
+
+    class _Scaler:
+        mean_ = np.asarray(e_ref.scaler_mean)
+        scale_ = np.asarray(e_ref.scaler_scale)
+
+    with pytest.raises(ValueError, match="capacity"):
+        QueryEngine(e_ref._x_d, e_ref.layout, np.asarray(e_ref.centroids),
+                    _Scaler(), e_ref.params, scan_impl="blocked",
+                    scan_dtype="float32", store_f32=False)
+
+
 def test_stream_int8_matches_search(rng):
     """Stream path through the int8 quantized screen: bit-identical to
     per-batch search (same device programs, different dispatch order)."""
