@@ -125,6 +125,27 @@ def _dedup_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
     return out_ids.astype(np.int32), out_scores.astype(np.float32)
 
 
+def rerank_exact_host(x_d: np.ndarray, metric: str, queries: np.ndarray,
+                      ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact f32 ranking of fetched candidates from the raw host corpus
+    (the bf16 fast modes' final correction pass; tiny: B × fetch_k × d).
+    -1 slots carry +inf and sort last.  Shared by QueryEngine and the
+    sharded engine's capacity mode."""
+    safe = np.maximum(ids, 0)
+    vec = x_d[safe]  # (B, m, d)
+    dot = np.einsum("bmd,bd->bm", vec.astype(np.float64), queries.astype(np.float64))
+    if metric == "inner_product":
+        exact = -dot
+    else:
+        exact = (vec.astype(np.float64) ** 2).sum(-1) - 2.0 * dot
+    exact = np.where(ids >= 0, exact, np.inf)
+    order = np.argsort(exact, axis=1, kind="stable")
+    return (
+        np.take_along_axis(ids, order, axis=1),
+        np.take_along_axis(exact.astype(np.float32), order, axis=1),
+    )
+
+
 @dataclass
 class SearchResult:
     ids: np.ndarray  # (B, k) int32 global ids (-1 = missing)
@@ -502,22 +523,7 @@ class QueryEngine:
         )
 
     def _rerank_f32(self, queries: np.ndarray, ids: np.ndarray, scores: np.ndarray):
-        """Recompute exact f32 ranking scores for the fetched candidates and
-        sort (bf16 fast mode's final correction pass; tiny: B × fetch_k × d)."""
-        B, m = ids.shape
-        safe = np.maximum(ids, 0)
-        vec = self._x_d[safe]  # (B, m, d)
-        dot = np.einsum("bmd,bd->bm", vec.astype(np.float64), queries.astype(np.float64))
-        if self.metric == "inner_product":
-            exact = -dot
-        else:
-            exact = (vec.astype(np.float64) ** 2).sum(-1) - 2.0 * dot
-        exact = np.where(ids >= 0, exact, np.inf)
-        order = np.argsort(exact, axis=1, kind="stable")
-        return (
-            np.take_along_axis(ids, order, axis=1),
-            np.take_along_axis(exact.astype(np.float32), order, axis=1),
-        )
+        return rerank_exact_host(self._x_d, self.metric, queries, ids)
 
     def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:
         """Per-query recall@k vs ground truth (search.cpp:519-528).

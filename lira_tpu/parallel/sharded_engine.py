@@ -231,6 +231,10 @@ class ShardedQueryEngine:
         interpret: bool | None = None,
         sel_rows: int | None = None,  # round-2 selection granularity (Pallas
         # path; None → single-chip measured optimum: 32 bf16 / 64 f32)
+        store_f32: bool = True,  # False (bf16 only) = CAPACITY mode: one
+        # bf16 table per shard serves both rounds (0.5× the corpus across
+        # the mesh); exact order restored by a host f32 re-rank after the
+        # ICI merge (QueryEngine's store_f32 contract)
     ):
         """`scan_dtype='bfloat16'` screens round 1 in bf16 (margin absorbs the
         rounding, round 2 rescans in exact f32 — single-chip block_scan
@@ -254,6 +258,12 @@ class ShardedQueryEngine:
         if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
             raise ValueError(f"sel_rows={sel_rows}: must be a divisor of 128")
         self.sel_rows = sel_rows
+        if not store_f32 and self.scan_dtype != jnp.bfloat16:
+            raise ValueError(
+                "store_f32=False (capacity mode) requires scan_dtype="
+                "'bfloat16' — the bf16 table is the only corpus copy"
+            )
+        self.store_f32 = store_f32
         self.prober = prober
         if local_impl == "auto":
             # pallas only where it runs compiled: off-TPU the interpreter is
@@ -352,7 +362,12 @@ class ShardedQueryEngine:
                 sq = row_sqnorms(vec.reshape(t_pad * self.tile, dim)).reshape(t_pad, self.tile)
                 sq = np.where(idt >= 0, sq, _BIG).astype(np.float32)
             # upload shard-by-shard: host staging never exceeds one device's
-            # tables (plus x_d), regardless of corpus size
+            # tables (plus x_d), regardless of corpus size.  Capacity mode
+            # uploads bf16 directly: per-shard device HBM never exceeds 0.5×
+            # the shard's f32 bytes — and the norms above are already exact
+            # (computed from the f32 host table before the cast)
+            if not store_f32:
+                vec = vec.astype(jnp.bfloat16)
             vec_shards.append(jax.device_put(vec[None], devs[d]))
             id_shards.append(jax.device_put(idt[None], devs[d]))
             sq_shards.append(jax.device_put(sq[None], devs[d]))
@@ -362,7 +377,11 @@ class ShardedQueryEngine:
         self.corpus = jax.make_array_from_single_device_arrays(full, shard, vec_shards)
         self.corpus_ids = jax.make_array_from_single_device_arrays(full[:3], shard, id_shards)
         self.corpus_sq = jax.make_array_from_single_device_arrays(full[:3], shard, sq_shards)
-        if self.scan_dtype == jnp.bfloat16:
+        if not store_f32:
+            self.corpus_r1 = self.corpus  # one bf16 table for both rounds
+            self.dim_scale = jnp.ones((dim,), jnp.float32)
+            self._x_d = x_d  # host reference for the exact final re-rank
+        elif self.scan_dtype == jnp.bfloat16:
             # round-1 bf16 view cast on device (no second corpus upload);
             # HBM cost 1.5× the corpus per shard, as in the single-chip engine
             self.corpus_r1 = jax.jit(
@@ -567,11 +586,15 @@ class ShardedQueryEngine:
         union = np.asarray(h["union"])  # (n_blocks, n_bkt) — tens of KB
         sel, tb, U, chunk = self._block_unions(union)
         fetch_k = k * self.n_mul
+        # capacity mode keeps extra distinct candidates through the ICI
+        # merge; exact order is restored on host (QueryEngine's +16 rule)
+        k_out = k if self.store_f32 else fetch_k + 16
+        fetch_k = max(fetch_k, k_out)
         kg = fetch_k + self.margin
         shard = NamedSharding(self.mesh, P(self.axis))
         if self.local_impl == "pallas":
             supers, tb_s = self._super_unions(sel)
-            fn = self._scan_fn(fetch_k, kg, k, supers.shape[2], chunk, h["qb"])
+            fn = self._scan_fn(fetch_k, kg, k_out, supers.shape[2], chunk, h["qb"])
             return fn(
                 h["q"], h["probed"], h["perm"],
                 jax.device_put(jnp.asarray(supers), shard),
@@ -579,7 +602,7 @@ class ShardedQueryEngine:
                 self.corpus_r1, self.corpus_sq, self.corpus, self.corpus_ids,
                 self.dim_scale,
             )
-        fn = self._scan_fn(fetch_k, kg, k, U, chunk, h["qb"])
+        fn = self._scan_fn(fetch_k, kg, k_out, U, chunk, h["qb"])
         return fn(
             h["q"], h["probed"], h["perm"],
             jax.device_put(jnp.asarray(sel), shard),
@@ -607,10 +630,20 @@ class ShardedQueryEngine:
             return self._empty_result(k, t0)
         h = self._dispatch_probe(queries, threshold)
         scores, ids, nprobe, ndis = self._collect(h, self._dispatch_scan(h, k))
+        if not self.store_f32:
+            ids, scores = self._rerank_capacity(queries, ids, k)
         return SearchResult(
             ids=ids, scores=scores, nprobe=nprobe, ndis=ndis,
             elapsed=time.perf_counter() - t0,
         )
+
+    def _rerank_capacity(self, queries: np.ndarray, ids: np.ndarray, k: int):
+        """Capacity mode: exact f32 host re-rank of the over-fetched distinct
+        candidates, truncated to k (QueryEngine's store_f32=False contract)."""
+        from ..engine.serve import rerank_exact_host
+
+        ids, scores = rerank_exact_host(self._x_d, self.metric, queries, ids)
+        return ids[:, :k], scores[:, :k]
 
     def search_stream(
         self, queries: np.ndarray, threshold: float, k: int,
@@ -642,9 +675,13 @@ class ShardedQueryEngine:
             prev = (h_cur, scan_out)
             h_cur = h_next
         outs.append(self._collect(*prev))
+        ids = np.concatenate([o[1] for o in outs])
+        scores = np.concatenate([o[0] for o in outs])
+        if not self.store_f32:
+            ids, scores = self._rerank_capacity(queries, ids, k)
         return SearchResult(
-            ids=np.concatenate([o[1] for o in outs]),
-            scores=np.concatenate([o[0] for o in outs]),
+            ids=ids,
+            scores=scores,
             nprobe=np.concatenate([o[2] for o in outs]),
             ndis=np.concatenate([o[3] for o in outs]),
             elapsed=time.perf_counter() - t0,

@@ -307,6 +307,39 @@ def test_sharded_int8_matches_f32():
 
 
 @needs_8
+@pytest.mark.parametrize("impl", ["pallas", "gather"])
+def test_sharded_capacity_mode_matches_f32(impl):
+    """store_f32=False on the mesh: one bf16 table per shard serves both
+    rounds (0.5× corpus HBM), exact order restored by the host f32 re-rank
+    after the ICI merge — sets and exact scores must match the f32 engine,
+    search and stream."""
+    import jax.numpy as jnp
+
+    x_d, x_q, layout, km, scaler, params = _small_index(seed=17)
+    mesh = make_mesh(8)
+    f32 = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                             local_impl=impl)
+    cap = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                             local_impl=impl, scan_dtype="bfloat16",
+                             store_f32=False)
+    assert cap.corpus.dtype == jnp.bfloat16 and cap.corpus_r1 is cap.corpus
+    for thr in (0.0, 0.6):
+        r1 = f32.search(x_q, thr, k=5)
+        r2 = cap.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+        valid = r2.ids >= 0
+        np.testing.assert_allclose(
+            np.where(valid, r2.scores, 0), np.where(valid, r1.scores, 0),
+            rtol=1e-5, atol=1e-4,
+        )
+    r_seq = cap.search(x_q, 0.5, k=5)
+    r_str = cap.search_stream(x_q, 0.5, k=5, batch_size=8)
+    np.testing.assert_array_equal(r_seq.ids, r_str.ids)
+
+
+@needs_8
 def test_sharded_int8_rejects_gather_impl():
     x_d, x_q, layout, km, scaler, params = _small_index(seed=13)
     mesh = make_mesh(8)
