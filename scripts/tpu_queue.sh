@@ -24,6 +24,9 @@ run bf16_margin_sweep_r3 3600 python scripts/bf16_margin_sweep.py
 # 4. QPS of margin x granularity grid (picks the measured default)
 run sel_rows_bench_r3 3600 python scripts/sel_rows_bench.py
 # 5. pipelined stream vs single-batch serving rate; the 'blocked' filter
-#    now also covers the int8 quantized screen (blocked-int8)
+#    now also covers the int8 screen (blocked-int8) and the capacity mode
+#    (blocked-bf16-cap)
 run tpu_serve_bench_stream 4800 python scripts/tpu_serve_bench.py 1000000 1024 65536 blocked 1024
+# 6. capacity demo: 20M rows served on ONE chip (bf16-only table, 0.5x HBM)
+run capacity_20m 4800 python scripts/tpu_serve_bench.py 20000000 1024 65536 blocked-bf16-cap 1024
 echo "=== tpu_queue end $(date) ===" | tee -a logs/tpu_queue.log

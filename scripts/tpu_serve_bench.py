@@ -73,6 +73,10 @@ def main():
         ("blocked", dict(scan_impl="blocked")),
         ("blocked-bf16", dict(scan_impl="blocked", scan_dtype="bfloat16")),
         ("blocked-int8", dict(scan_impl="blocked", scan_dtype="int8")),
+        # capacity mode: one bf16 table for both rounds (0.5× corpus HBM) —
+        # the mode that serves 20M+ rows on one v5e chip
+        ("blocked-bf16-cap", dict(scan_impl="blocked", scan_dtype="bfloat16",
+                                  store_f32=False)),
         ("xla", dict(scan_impl="xla")),
     ]
     for name, kw in impls:
