@@ -32,6 +32,7 @@ def run_search(
     bundle=None,
     stream_batch: int = 0,  # > 0: pipelined search_stream at this batch size
     scan_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'int8' screen
+    capacity: bool = False,  # bf16 only: one table for both rounds (0.5x HBM)
 ) -> list[dict]:
     art = load_index_artifacts(artifacts_dir, prefix)
     manifest = art["manifest"]
@@ -46,20 +47,23 @@ def run_search(
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded_engine import ShardedQueryEngine
 
-        # int8 is a blocked/pallas-only screen: pin the impl so the request
+        # int8/capacity are blocked/pallas-only: pin the impl so the request
         # works off-TPU too (where 'auto' would pick the per-query paths)
         kw = dict(local_impl="pallas") if scan_dtype == "int8" else {}
         engine = ShardedQueryEngine(
             art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
             make_mesh(n_shards), metric=manifest["metric"], n_mul=manifest["n_mul"],
-            scan_dtype=scan_dtype, **kw,
+            scan_dtype=scan_dtype, store_f32=not capacity, **kw,
         )
     else:
-        kw = dict(scan_impl="blocked") if scan_dtype == "int8" else {}
+        kw = (
+            dict(scan_impl="blocked")
+            if scan_dtype == "int8" or capacity else {}
+        )
         engine = QueryEngine(
             art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
             metric=manifest["metric"], n_mul=manifest["n_mul"],
-            scan_dtype=scan_dtype, **kw,
+            scan_dtype=scan_dtype, store_f32=not capacity, **kw,
         )
 
     thresholds = np.arange(t_min, t_max + 1e-6, t_step)
@@ -108,11 +112,15 @@ def main(argv=None):
                    choices=["float32", "bfloat16", "int8"],
                    help="round-1 screen dtype (bfloat16/int8 halve/quarter "
                         "the screen's HBM bytes; round 2 is always f32-exact)")
+    p.add_argument("--capacity", action="store_true",
+                   help="bf16 capacity mode: one bf16 table serves both "
+                        "rounds (0.5x corpus HBM); exact order restored by "
+                        "a host f32 re-rank (requires --scan_dtype bfloat16)")
     a = p.parse_args(argv)
     run_search(
         a.artifacts_dir, a.prefix, a.dataset, a.data_path, a.k,
         a.t_min, a.t_max, a.t_step, a.n_shards, stream_batch=a.stream_batch,
-        scan_dtype=a.scan_dtype,
+        scan_dtype=a.scan_dtype, capacity=a.capacity,
     )
 
 
