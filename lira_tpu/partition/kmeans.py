@@ -119,7 +119,13 @@ def _kmeanspp_init(
     owner = scores.argmin(axis=1)
     w = np.bincount(owner, minlength=len(cand)).astype(np.float64)
     pts = xt[cand].astype(np.float64)
-    seeds = rng.choice(len(cand), size=n_bkt, replace=False, p=w / w.sum())
+    # duplicated corpus rows tie the ownership argmin to the first candidate
+    # with that value, leaving later duplicates weightless — if fewer than
+    # n_bkt candidates have weight, a zero-probability no-replacement draw
+    # raises; a tiny floor keeps every candidate drawable (the weighted
+    # Lloyd below still uses the true weights)
+    p = w + 1e-9
+    seeds = rng.choice(len(cand), size=n_bkt, replace=False, p=p / p.sum())
     centers = pts[seeds].copy()
     psq = (pts**2).sum(axis=1)
     wp = pts * w[:, None]

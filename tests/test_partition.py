@@ -101,3 +101,18 @@ def test_kmeans_plusplus_init():
     import pytest
     with pytest.raises(ValueError, match="init"):
         kmeans_fit(x, 4, niter=1, init="bogus")
+
+
+def test_kmeans_plusplus_duplicate_rows():
+    """Heavily duplicated corpora leave most kmeans|| candidates owning zero
+    rows (ownership ties go to the first duplicate); the seed draw must not
+    require n_bkt nonzero-weight candidates."""
+    import numpy as np
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    distinct = rng.normal(size=(8, 6)).astype(np.float32)
+    x = distinct[rng.integers(0, 8, size=2000)]  # 8 distinct values, n_bkt=16
+    km = kmeans_fit(x, 16, niter=4, seed=0, init="kmeans++")
+    assert km.centroids.shape == (16, 6)
+    assert np.isfinite(km.centroids).all()
