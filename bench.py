@@ -57,26 +57,22 @@ def ref_cpu_qps(target_ndis: float = 8000.0) -> float:
         return REF_CPU_QPS_FALLBACK
 
 
-def serving_bench():
-    import lira_tpu
+def build_trained_index(n, d, n_bkt, k, batch, n_epoch):
+    """The bench's real-pipeline setup, reusable by the measurement scripts
+    (scripts/latency_bench.py): hard-regime corpus (cached under /tmp) →
+    learned K-Means layout → trained probing MLP.
 
-    lira_tpu.enable_compilation_cache()
-    import jax
+    Returns dict(x_d, x_q, layout, km, scaler, params, assign)."""
     import jax.numpy as jnp
 
-    from lira_tpu.engine.serve import QueryEngine
     from lira_tpu.io.datasets import synthetic_dataset
     from lira_tpu.labels.distr import knn_bucket_labels
     from lira_tpu.labels.scaler import scaled_centroid_distances
     from lira_tpu.models.train import make_train_state, train_epoch
-    from lira_tpu.ops.knn import exact_knn, self_knn
+    from lira_tpu.ops.knn import self_knn
     from lira_tpu.partition.assign import build_bucket_layout
     from lira_tpu.partition.kmeans import kmeans_assign, kmeans_fit
 
-    if os.environ.get("LIRA_BENCH_SMALL") == "1":  # CPU smoke mode
-        n, d, n_bkt, k, batch, n_gt, n_epoch = 20_000, 16, 32, 10, 512, 128, 2
-    else:
-        n, d, n_bkt, k, batch, n_gt, n_epoch = 1_000_000, 128, 1024, 10, 65536, 4096, 6
     t0 = time.perf_counter()
     # this rig's vCPU generates Gaussians at ~1 M/s — cache the corpus
     # across runs.  The generator parameters are part of the cache key so a
@@ -122,6 +118,28 @@ def serving_bench():
     del dist, lab_dev
     params = state.params
     log(f"probing model trained {n_epoch} epochs ({time.perf_counter() - t0:.1f}s)")
+    return dict(x_d=x_d, x_q=x_q, layout=layout, km=km, scaler=scaler,
+                params=params, assign=assign)
+
+
+def serving_bench():
+    import lira_tpu
+
+    lira_tpu.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.ops.knn import exact_knn
+
+    if os.environ.get("LIRA_BENCH_SMALL") == "1":  # CPU smoke mode
+        n, d, n_bkt, k, batch, n_gt, n_epoch = 20_000, 16, 32, 10, 512, 128, 2
+    else:
+        n, d, n_bkt, k, batch, n_gt, n_epoch = 1_000_000, 128, 1024, 10, 65536, 4096, 6
+    ix = build_trained_index(n, d, n_bkt, k, batch, n_epoch)
+    x_d, x_q, layout, km, scaler, params = (
+        ix["x_d"], ix["x_q"], ix["layout"], ix["km"], ix["scaler"], ix["params"]
+    )
 
     t0 = time.perf_counter()
     _, gt = exact_knn(x_d, x_q[:n_gt], k)

@@ -657,21 +657,21 @@ def _resolve_margin(margin, scan_dtype, sel_rows: int) -> int:
     granularity-independent.  bf16 rounding is data-dependent: re-validate
     on new distributions (scripts/bf16_margin_sweep.py) or raise `margin`.
 
-    int8 defaults to 2x the bf16 row coverage: symmetric-int8 quantization
-    error is absolute over the per-dim data range (vs bf16's relative
-    rounding) and the two error magnitudes are comparable on centered data,
-    so the wider default buys headroom until the margin sweep is re-run on
-    the serving distribution."""
+    int8 shares the bf16 default: the measured zero-miss point on the
+    hard-regime 1M x 128 corpus is 4 tiles for the int8 serving screen
+    (docs/bf16_screen.md int8 section — zero miss at EVERY rung >= 4, and
+    smaller margins are measurably faster: 23.4k vs 19.5k QPS at
+    sel_rows=128), so 8 tiles of row coverage is the same 2x safety factor
+    the bf16 default carries.  Like bf16, re-validate per distribution
+    (engine/calibrate.py turns that into one call)."""
     if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
         raise ValueError(
             f"sel_rows={sel_rows}: must be a divisor of the 128-row tile "
             "(the round-1 kernel emits per-group minima over sublane slices)"
         )
     if margin is None:
-        if scan_dtype == jnp.bfloat16:
+        if scan_dtype in (jnp.bfloat16, jnp.int8):
             margin = 8 * (128 // sel_rows)
-        elif scan_dtype == jnp.int8:
-            margin = 16 * (128 // sel_rows)
         else:
             margin = 8
     return margin

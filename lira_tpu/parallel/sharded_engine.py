@@ -288,7 +288,10 @@ class ShardedQueryEngine:
             if self.scan_dtype == jnp.bfloat16 and local_impl == "pallas":
                 margin = 8 * (128 // sel_rows)
             elif self.scan_dtype == jnp.int8:
-                margin = 16 * (128 // sel_rows)
+                # measured zero-miss at 4 tiles on the hard-regime 1M x 128
+                # serving sweep (docs/bf16_screen.md int8 section): 8 tiles
+                # of coverage = the bf16 default's 2x safety factor
+                margin = 8 * (128 // sel_rows)
             else:
                 margin = 8
         self.margin = margin

@@ -15,8 +15,8 @@ margin.  This script measures that rate directly at 1M×128:
      section measures where misses vanish at each granularity (the engine's
      scaled default is 8 * 128/sel_rows groups);
   4. the int8 quantized screen (scan_dtype='int8'): miss rate + QPS per
-     (granularity, margin), calibrating the engine's 16 * 128/sel_rows
-     default against the measured zero-miss point.
+     (granularity, margin) — measured zero-miss at 4 tiles on the hard
+     regime, which set the engine's 8 * 128/sel_rows default (2x safety).
 
 Writes the measured table to docs/bf16_screen.md.
 
@@ -185,7 +185,7 @@ def main():
         "bytes, int32 MXU accumulation); quantization error replaces bf16",
         "rounding as the selection-miss mode.  Measured miss rates per",
         "(granularity, margin) at the same operating point (engine default:",
-        "16 · 128/sel_rows groups):",
+        "8 · 128/sel_rows groups — 2× the measured 4-tile zero-miss point):",
         "",
         "| block_sel_rows | block_margin (groups) | neighbor-set miss rate | QPS |",
         "|---|---|---|---|",
