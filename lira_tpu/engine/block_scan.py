@@ -647,30 +647,32 @@ def build_block_unions(
 def _resolve_margin(margin, scan_dtype, sel_rows: int) -> int:
     """Default selection margin, validated against the kernel's tile shape.
 
-    margin 8 = 2x the smallest zero-miss bf16 margin measured at 1M x 128
-    with 128-row tiles (docs/bf16_screen.md: knn_fused misses vanish at 4,
-    serving at 0).  The margin is counted in SELECTION GROUPS: at
-    sel_rows < 128 there are 128/sel_rows x more group-mins competing
-    inside the same bf16 rounding band, so the bf16 default scales to keep
-    the margin's row coverage (8*128 rows) constant.  f32 group mins are
-    exact — the margin only absorbs score ties there, which is
-    granularity-independent.  bf16 rounding is data-dependent: re-validate
-    on new distributions (scripts/bf16_margin_sweep.py) or raise `margin`.
+    The margin is counted in SELECTION GROUPS: at sel_rows < 128 there are
+    128/sel_rows x more group-mins competing inside the same rounding band,
+    so the approximate-screen defaults scale to keep the margin's ROW
+    coverage constant.  f32 group mins are exact — the margin only absorbs
+    score ties there, which is granularity-independent (flat 8).
 
-    int8 shares the bf16 default: the measured zero-miss point on the
-    hard-regime 1M x 128 corpus is 4 tiles for the int8 serving screen
-    (docs/bf16_screen.md int8 section — zero miss at EVERY rung >= 4, and
-    smaller margins are measurably faster: 23.4k vs 19.5k QPS at
-    sel_rows=128), so 8 tiles of row coverage is the same 2x safety factor
-    the bf16 default carries.  Like bf16, re-validate per distribution
-    (engine/calibrate.py turns that into one call)."""
+    bf16 default = 4 tiles of coverage: the measured serving zero-miss
+    margin is 0 on both measured corpora and the offline sweep's
+    (knn_fused's) is 4 tiles (docs/bf16_screen.md), so 4 tiles covers the
+    worst measured zero-miss point of either path; the QPS grid
+    (scripts/sel_rows_bench.py, logs/sel_rows_bench_r3.log) measures it
+    14-17% faster than the previous 8-tile default at the sel_rows=32
+    production granularity.  int8 default = 8 tiles: its serving zero-miss
+    is 4 tiles (zero miss at EVERY rung >= 4), kept at the same 2x safety
+    factor.  Rounding/quantization is data-dependent: re-validate on new
+    distributions (engine/calibrate.py makes that one call, or re-run
+    scripts/bf16_margin_sweep.py) or raise `margin`."""
     if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
         raise ValueError(
             f"sel_rows={sel_rows}: must be a divisor of the 128-row tile "
             "(the round-1 kernel emits per-group minima over sublane slices)"
         )
     if margin is None:
-        if scan_dtype in (jnp.bfloat16, jnp.int8):
+        if scan_dtype == jnp.bfloat16:
+            margin = 4 * (128 // sel_rows)
+        elif scan_dtype == jnp.int8:
             margin = 8 * (128 // sel_rows)
         else:
             margin = 8

@@ -285,12 +285,12 @@ class ShardedQueryEngine:
             # the bf16/int8 defaults scale with granularity to keep row
             # coverage constant (the gather path selects whole tiles —
             # sel_rows only shrinks groups on the Pallas path)
+            # measured defaults (block_scan._resolve_margin's rationale):
+            # bf16 = 4 tiles of coverage (worst measured zero-miss point of
+            # either path), int8 = 8 tiles (2x its 4-tile zero-miss)
             if self.scan_dtype == jnp.bfloat16 and local_impl == "pallas":
-                margin = 8 * (128 // sel_rows)
+                margin = 4 * (128 // sel_rows)
             elif self.scan_dtype == jnp.int8:
-                # measured zero-miss at 4 tiles on the hard-regime 1M x 128
-                # serving sweep (docs/bf16_screen.md int8 section): 8 tiles
-                # of coverage = the bf16 default's 2x safety factor
                 margin = 8 * (128 // sel_rows)
             else:
                 margin = 8

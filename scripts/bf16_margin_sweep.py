@@ -13,7 +13,7 @@ margin.  This script measures that rate directly at 1M×128:
      the margin is counted in selection groups, so finer groups put
      128/sel_rows x more group-mins inside the bf16 rounding band — this
      section measures where misses vanish at each granularity (the engine's
-     scaled default is 8 * 128/sel_rows groups);
+     scaled default is 4 * 128/sel_rows groups);
   4. the int8 quantized screen (scan_dtype='int8'): miss rate + QPS per
      (granularity, margin) — measured zero-miss at 4 tiles on the hard
      regime, which set the engine's 8 * 128/sel_rows default (2x safety).
@@ -157,7 +157,7 @@ def main():
         "",
         "The margin is counted in selection groups: at sel_rows=32 there are",
         "4x more group-mins competing inside the same bf16 rounding band, so",
-        "the engine's default margin scales to 8 * 128/sel_rows groups",
+        "the engine's default margin scales to 4 * 128/sel_rows groups",
         "(constant row coverage).  Measured miss rates per (granularity,",
         "margin):",
         "",
@@ -212,7 +212,7 @@ def main():
         "",
         "Default margins: knn_fused uses 8; the blocked engine defaults to 8",
         "selection groups at whole-tile granularity and scales the bf16",
-        "default to 8 * 128/sel_rows groups at sub-tile granularity (constant",
+        "default to 4 * 128/sel_rows groups at sub-tile granularity (constant",
         "row coverage; engine/block_scan.py::blocked_search).  bf16 rounding",
         "of group-mins is data-dependent — re-validate on new distributions",
         "(re-run this script, or raise `block_margin`) before trusting the",

@@ -60,7 +60,7 @@ def main():
     print(f"index ready ({time.time() - t0:.0f}s)", flush=True)
 
     # (dtype, sel_rows, margin): margin None = the engine default (f32: 8
-    # groups at any granularity; bf16: 8*128/sel_rows groups — constant row
+    # groups at any granularity; bf16: 4*128/sel_rows groups — constant row
     # coverage, docs/bf16_screen.md).  The explicit bf16 margins measure the
     # QPS cost of the scaled default vs the unscaled round-3 settings, so the
     # default can be lowered if bf16_margin_sweep's granularity section shows

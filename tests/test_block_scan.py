@@ -65,7 +65,7 @@ def test_blocked_bf16_matches(rng):
 def test_blocked_int8_matches(rng, metric):
     """int8 quantized round-1 screen (symmetric per-dim corpus scale, one
     batch query scale, int32 MXU dot) + exact f32 round 2: with the default
-    margin (8·128/sel_rows groups) the tiny layout's candidate set is
+    margin (8·128/sel_rows groups for int8) the tiny layout's candidate set is
     exhaustive, so results must be identical to the f32 per-query engine."""
     x_q, e_ref, e_blk = _build(rng, metric, scan_dtype="int8")
     import jax.numpy as jnp
