@@ -52,6 +52,12 @@ S_TILES = 8  # tiles per supertile: out block (8, block_q) meets f32 (8, 128) al
 
 _BIG = 3e38
 
+# HBM cap on the screen output held live at once: (blocks, U·SG, qb) f32 is
+# ~1 GB PER BLOCK at 20M-row unions, and 68 GB if all blocks materialize
+# together (logs/capacity_20m.log).  _screen_rescore chunks block rows to
+# this budget and consumes each chunk before screening the next.
+_GMIN_BUDGET = 2 << 30
+
 
 def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
@@ -245,16 +251,27 @@ def _screen_rescore(
     G = 128 // sel_rows  # selection groups per 128-row tile
     SG = S_TILES * G  # groups per supertile
 
-    # the scalar-prefetch operand lives in SMEM (1 MiB): split the pallas
-    # call into groups of block rows so each call's supers slice fits with
-    # headroom — still a single XLA program / device dispatch
+    # chunk the screen over block rows, bounded by BOTH budgets:
+    #  - SMEM: the scalar-prefetch supers slice must fit 1 MiB with headroom;
+    #  - HBM: the screen output is (rows, U·SG, qb) f32 — at a 20M-row corpus
+    #    with near-full unions that is ~1 GB PER BLOCK, and materializing all
+    #    n_blocks at once was measured to demand 68 GB at batch 65536
+    #    (logs/capacity_20m.log, XLA compile-time OOM).  Each chunk's screen
+    #    output is consumed by its own selection/rescore map below and dies
+    #    before the next chunk screens, so peak HBM stays one chunk.
     smem_budget = 1 << 18
-    rows_per_call = max(1, min(n_blocks, smem_budget // max(U * 4, 1)))
+    rows_per_call = max(
+        1,
+        min(
+            n_blocks,
+            smem_budget // max(U * 4, 1),
+            _GMIN_BUDGET // max(U * SG * qb * 4, 1),
+        ),
+    )
     q_rows = q_r1.reshape(n_blocks * qb, d)
     bsq_col = bsq.reshape(-1, 1)  # flat column for the kernel (see its docstring)
-    parts = []
-    for s in range(0, n_blocks, rows_per_call):
-        e = min(s + rows_per_call, n_blocks)
+
+    def screen_chunk(sup_c, s: int, e: int):
         in_specs = [
             pl.BlockSpec(
                 (qb, d), lambda i, u, sref, s=s: (s + i, 0), memory_space=pltpu.VMEM
@@ -268,7 +285,7 @@ def _screen_rescore(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        operands = [supers[s:e], q_rows, corpus_flat, bsq_col]
+        operands = [sup_c, q_rows, corpus_flat, bsq_col]
         if quantized:
             in_specs.append(
                 pl.BlockSpec((1, 1), lambda i, u, sref: (0, 0),
@@ -283,16 +300,13 @@ def _screen_rescore(
                 (1, SG, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
             ),
         )
-        parts.append(
-            pl.pallas_call(
-                partial(_union_groupmin_kernel, metric=metric, precision=precision,
-                        sel_rows=sel_rows, quantized=quantized),
-                grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct(((e - s), U * SG, qb), jnp.float32),
-                interpret=interpret,
-            )(*operands)
-        )
-    gmin = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return pl.pallas_call(
+            partial(_union_groupmin_kernel, metric=metric, precision=precision,
+                    sel_rows=sel_rows, quantized=quantized),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(((e - s), U * SG, qb), jnp.float32),
+            interpret=interpret,
+        )(*operands)
 
     groups_f32 = corpus_flat_f32.reshape(-1, sel_rows, d)
     bsq_g = bsq.reshape(-1, sel_rows)
@@ -355,7 +369,27 @@ def _screen_rescore(
         )
         return neg.reshape(qb_, k_loc), oid.reshape(qb_, k_loc)
 
-    neg, ids = jax.lax.map(per_block, (gmin, probed_p, tb, supers, q_perm.reshape(n_blocks, qb, d)))
+    # screen-then-consume per chunk: chunk i+1's screen input is tied to
+    # chunk i's selection output with an optimization_barrier, so XLA's
+    # scheduler cannot hoist every screen ahead of the consumers and
+    # re-create the all-blocks gmin allocation the chunking exists to avoid
+    q_blocks = q_perm.reshape(n_blocks, qb, d)
+    neg_parts, ids_parts = [], []
+    prev = None
+    for s in range(0, n_blocks, rows_per_call):
+        e = min(s + rows_per_call, n_blocks)
+        sup_c = supers[s:e]
+        if prev is not None:
+            sup_c, prev = jax.lax.optimization_barrier((sup_c, prev))
+        gmin_c = screen_chunk(sup_c, s, e)
+        neg_c, ids_c = jax.lax.map(
+            per_block, (gmin_c, probed_p[s:e], tb[s:e], sup_c, q_blocks[s:e])
+        )
+        prev = neg_c
+        neg_parts.append(neg_c)
+        ids_parts.append(ids_c)
+    neg = neg_parts[0] if len(neg_parts) == 1 else jnp.concatenate(neg_parts, axis=0)
+    ids = ids_parts[0] if len(ids_parts) == 1 else jnp.concatenate(ids_parts, axis=0)
     return neg.reshape(B, k_loc), ids.reshape(B, k_loc), k_loc
 
 

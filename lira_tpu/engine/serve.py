@@ -126,23 +126,36 @@ def _dedup_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
 
 
 def rerank_exact_host(x_d: np.ndarray, metric: str, queries: np.ndarray,
-                      ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                      ids: np.ndarray, x_sq: np.ndarray | None = None,
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Exact f32 ranking of fetched candidates from the raw host corpus
     (the bf16 fast modes' final correction pass; tiny: B × fetch_k × d).
     -1 slots carry +inf and sort last.  Shared by QueryEngine and the
-    sharded engine's capacity mode."""
+    sharded engine's capacity mode.
+
+    f32 batched matmul, not f64 einsum: the scores this pass corrects are
+    computed in f32 on device (the all-f32 engine's own precision class),
+    so f64 buys no parity while costing 4× the host time — the f64 einsum
+    was measured at 0.45 s per 8192×26 batch, a 20k-QPS ceiling on the
+    capacity mode by itself; the f32 matmul path runs in ~40 ms.  `x_sq`:
+    optional precomputed row squared norms (QueryEngine caches them across
+    calls)."""
     safe = np.maximum(ids, 0)
-    vec = x_d[safe]  # (B, m, d)
-    dot = np.einsum("bmd,bd->bm", vec.astype(np.float64), queries.astype(np.float64))
+    vec = x_d[safe]  # (B, m, d) f32
+    q = queries.astype(np.float32, copy=False)
+    dot = np.matmul(vec, q[:, :, None])[..., 0]  # (B, m) batched GEMV
     if metric == "inner_product":
         exact = -dot
     else:
-        exact = (vec.astype(np.float64) ** 2).sum(-1) - 2.0 * dot
-    exact = np.where(ids >= 0, exact, np.inf)
+        sq = x_sq[safe] if x_sq is not None else np.einsum(
+            "bmd,bmd->bm", vec, vec, optimize=True
+        )
+        exact = sq - 2.0 * dot
+    exact = np.where(ids >= 0, exact.astype(np.float32), np.float32(np.inf))
     order = np.argsort(exact, axis=1, kind="stable")
     return (
         np.take_along_axis(ids, order, axis=1),
-        np.take_along_axis(exact.astype(np.float32), order, axis=1),
+        np.take_along_axis(exact, order, axis=1),
     )
 
 
@@ -523,7 +536,15 @@ class QueryEngine:
         )
 
     def _rerank_f32(self, queries: np.ndarray, ids: np.ndarray, scores: np.ndarray):
-        return rerank_exact_host(self._x_d, self.metric, queries, ids)
+        if self.metric != "inner_product" and getattr(self, "_x_sq", None) is None:
+            # one O(n·d) pass, reused by every later re-rank call
+            self._x_sq = np.einsum(
+                "nd,nd->n", self._x_d, self._x_d, optimize=True
+            ).astype(np.float32)
+        return rerank_exact_host(
+            self._x_d, self.metric, queries, ids,
+            x_sq=getattr(self, "_x_sq", None),
+        )
 
     def recall_against(self, result_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> np.ndarray:
         """Per-query recall@k vs ground truth (search.cpp:519-528).

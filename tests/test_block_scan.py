@@ -80,6 +80,31 @@ def test_blocked_int8_matches(rng, metric):
             assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
 
 
+def test_blocked_gmin_chunked_matches(rng, monkeypatch):
+    """The screen-output HBM budget (_GMIN_BUDGET) chunks block rows so the
+    per-block group-min array never materializes across all blocks at once
+    (the 20M-scale compile OOM, logs/capacity_20m.log demanded 68 GB).
+    Forcing one block per chunk must leave results identical to the
+    per-query engine."""
+    from lira_tpu.engine import block_scan
+
+    x_q, e_ref, e_blk = _build(rng, "L2", block_q=8)  # 33 queries → 5 blocks
+    monkeypatch.setattr(block_scan, "_GMIN_BUDGET", 1)
+    block_scan._scan_all.clear_cache()  # same shapes → same jit key
+    try:
+        for thr in (0.0, 0.45):
+            r1 = e_ref.search(x_q, thr, k=5)
+            r2 = e_blk.search(x_q, thr, k=5)
+            np.testing.assert_array_equal(r1.nprobe, r2.nprobe)
+            np.testing.assert_array_equal(r1.ndis, r2.ndis)
+            for i in range(len(x_q)):
+                assert set(r1.ids[i][r1.ids[i] >= 0]) == set(
+                    r2.ids[i][r2.ids[i] >= 0]
+                ), (thr, i)
+    finally:
+        block_scan._scan_all.clear_cache()
+
+
 def test_int8_requires_blocked_impl(rng):
     """The per-query xla/pallas paths have no quantized round 1."""
     from lira_tpu.engine.serve import QueryEngine
