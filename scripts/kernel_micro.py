@@ -45,7 +45,12 @@ def timed(fn, *args, reps=5, qpos=None):
     perturbed = []
     for i in range(reps):
         if qpos is not None:
-            args[qpos] = (args[qpos] + jnp.float32(1e-7)).astype(args[qpos].dtype)
+            delta = (
+                jnp.int8(1)
+                if jnp.issubdtype(args[qpos].dtype, jnp.integer)
+                else jnp.float32(1e-7)
+            )
+            args[qpos] = (args[qpos] + delta).astype(args[qpos].dtype)
         perturbed.append(list(args))
     float(jnp.sum(perturbed[-1][qpos if qpos is not None else 0]))  # uploads done
     t0 = time.perf_counter()
@@ -64,8 +69,14 @@ def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32, prec=None):
         prec = "highest" if dtype == jnp.float32 else "default"
     rng = np.random.default_rng(0)
     n_super = U  # one union's worth of supertiles; every block reads them all
-    q = jnp.asarray(rng.standard_normal((n_blocks * qb, d)), dtype)
-    corpus = jnp.asarray(rng.standard_normal((n_super * S * 128, d)), dtype)
+    if dtype == jnp.int8:
+        q = jnp.asarray(rng.integers(-127, 128, (n_blocks * qb, d)), jnp.int8)
+        corpus = jnp.asarray(
+            rng.integers(-127, 128, (n_super * S * 128, d)), jnp.int8
+        )
+    else:
+        q = jnp.asarray(rng.standard_normal((n_blocks * qb, d)), dtype)
+        corpus = jnp.asarray(rng.standard_normal((n_super * S * 128, d)), dtype)
     bsq = jnp.asarray(rng.standard_normal((n_super * S, 128)), jnp.float32)
     supers = jnp.asarray(
         np.tile(np.arange(n_super, dtype=np.int32)[None], (n_blocks, 1))
@@ -140,6 +151,32 @@ def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32, prec=None):
         out_spec = pl.BlockSpec((1, S, qb), lambda i, u, sref: (i, u, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n_blocks, U * S, qb), jnp.float32)
+    elif name == "qmin":
+        # the int8 quantized screen (block_scan._union_groupmin_kernel
+        # quantized=True): int8 x int8 -> int32 MXU dot + one scalar dequant
+        def kern(sref, q_ref, c_ref, b_ref, t_ref, o_ref):
+            doti = jax.lax.dot_general(
+                c_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            scores = b_ref[...] - t_ref[0, 0] * doti.astype(jnp.float32)
+            mins = [
+                scores[i * 128 : (i + 1) * 128, :].min(axis=0, keepdims=True)
+                for i in range(S)
+            ]
+            o_ref[...] = jnp.concatenate(mins, axis=0)[None]
+        out_spec = pl.BlockSpec((1, S, qb), lambda i, u, sref: (i, u, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks, U * S, qb), jnp.float32)
+    elif name == "qnomin":
+        # the bare int8 dot (no min/emit): the int8 MXU speed-of-light probe
+        def kern(sref, q_ref, c_ref, b_ref, t_ref, o_ref):
+            doti = jax.lax.dot_general(
+                c_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[...] = doti[:128, :].astype(jnp.float32)[None]
+        out_spec = pl.BlockSpec((1, 128, qb), lambda i, u, sref: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks, 128, qb), jnp.float32)
     elif name == "nomin":
         def kern(sref, q_ref, c_ref, b_ref, o_ref):
             dot = jax.lax.dot_general(
@@ -152,25 +189,39 @@ def make_variant(name, qb, U, n_blocks, S, d=128, dtype=jnp.float32, prec=None):
     else:
         raise ValueError(name)
 
+    quant = name in ("qmin", "qnomin")
+    in_specs = [
+        pl.BlockSpec((qb, d), lambda i, u, sref: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S * 128, d), lambda i, u, sref: (sref[i, u], 0),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((S * 128, 1), lambda i, u, sref: (sref[i, u], 0),
+                      memory_space=pltpu.VMEM)
+         if name in ("tmin", "treemin", "qmin", "qnomin") else
+         pl.BlockSpec((S, 128), lambda i, u, sref: (sref[i, u], 0),
+                      memory_space=pltpu.VMEM)),
+    ]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i, u, sref: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks, U),
-        in_specs=[
-            pl.BlockSpec((qb, d), lambda i, u, sref: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * 128, d), lambda i, u, sref: (sref[i, u], 0),
-                         memory_space=pltpu.VMEM),
-            (pl.BlockSpec((S * 128, 1), lambda i, u, sref: (sref[i, u], 0),
-                          memory_space=pltpu.VMEM)
-             if name in ("tmin", "treemin") else
-             pl.BlockSpec((S, 128), lambda i, u, sref: (sref[i, u], 0),
-                          memory_space=pltpu.VMEM)),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
     )
     call = pl.pallas_call(kern, grid_spec=grid_spec, out_shape=out_shape)
+    bsq_arg = (
+        jnp.asarray(np.asarray(bsq).reshape(-1, 1))
+        if name in ("tmin", "treemin", "qmin", "qnomin") else bsq
+    )
+    if quant:
+        fn = jax.jit(lambda s, q, c, b, t: call(s, q, c, b, t))
+        t_arg = jnp.full((1, 1), 2.0 / 127.0, jnp.float32)
+        return fn, (supers, q.reshape(n_blocks * qb, d), corpus, bsq_arg, t_arg), flops
     fn = jax.jit(lambda s, q, c, b: call(s, q, c, b))
-    bsq_arg = jnp.asarray(np.asarray(bsq).reshape(-1, 1)) if name in ("tmin", "treemin") else bsq
     return fn, (supers, q.reshape(n_blocks * qb, d), corpus, bsq_arg), flops
 
 
@@ -179,12 +230,18 @@ def main():
     U = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
-    for dtype, dname in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        for name, S, qb_v, prec in (
-            ("tmin", 8, qb, None), ("tmin", 8, qb, "high"),
-            ("tmin", 8, qb, "default"), ("nomin", 8, qb, "high"),
-            ("tmin", 8, qb, "high"), ("tmin", 8, qb, None),  # variance check
-        ):
+    cases = [
+        (jnp.float32, "f32", [("tmin", 8, qb, None), ("tmin", 8, qb, "high"),
+                              ("tmin", 8, qb, "default"), ("nomin", 8, qb, "high"),
+                              ("tmin", 8, qb, "high"), ("tmin", 8, qb, None)]),
+        (jnp.bfloat16, "bf16", [("tmin", 8, qb, None), ("tmin", 8, qb, "high"),
+                                ("tmin", 8, qb, "default"), ("nomin", 8, qb, "high"),
+                                ("tmin", 8, qb, "high"), ("tmin", 8, qb, None)]),
+        (jnp.int8, "int8", [("qmin", 8, qb, None), ("qnomin", 8, qb, None),
+                            ("qmin", 8, qb, None)]),
+    ]
+    for dtype, dname, case_list in cases:
+        for name, S, qb_v, prec in case_list:
             u_eff = U * 8 // S  # same total rows regardless of S
             blocks_v = n_blocks * qb // qb_v  # same total queries
             try:
