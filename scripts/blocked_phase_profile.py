@@ -91,7 +91,13 @@ def main():
         q_pad = np.zeros((B_pad, d), np.float32)
         q_pad[:batch] = x_q
         q_dev = jnp.asarray(q_pad)
-        margin = 8  # match blocked_search's shipped default for all dtypes
+        # profile the SHIPPED configuration: the engine's resolved selection
+        # granularity and the measured margin default for that (dtype,
+        # granularity) — not a hand-pinned operating point that drifts
+        from lira_tpu.engine.block_scan import _resolve_margin
+
+        sel_rows = eng.block_sel_rows
+        margin = _resolve_margin(None, eng.scan_dtype, sel_rows)
         precision = "default" if dtype == "bfloat16" else "highest"
         fetch_k = k * eng.n_mul
         kg = fetch_k + margin
@@ -112,7 +118,7 @@ def main():
             s_dev, tb_dev = jnp.asarray(supers), jnp.asarray(tb)
             common = dict(
                 metric=eng.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
-                precision=precision, interpret=False,
+                precision=precision, interpret=False, sel_rows=sel_rows,
             )
             t_screen, _ = timed(
                 _scan_all, q_dev, probed, perm, s_dev, tb_dev,
@@ -127,7 +133,8 @@ def main():
             ndis = float(np.asarray(ndis_d[:batch]).mean())
             u_tiles = supers.shape[1]
             print(
-                f"[{dtype} qb={qb} nprobe≈{target_nprobe} ndis={ndis:.0f} U={u_tiles}] "
+                f"[{dtype} qb={qb} sel={sel_rows} m={margin} "
+                f"nprobe≈{target_nprobe} ndis={ndis:.0f} U={u_tiles}] "
                 f"probe {1e3 * t_probe:.0f}ms unions {1e3 * t_unions:.0f}ms "
                 f"screen {1e3 * t_screen:.0f}ms rescore {1e3 * (t_full - t_screen):.0f}ms "
                 f"full {1e3 * t_full:.0f}ms -> {batch / t_full:.0f} scan-QPS",
