@@ -58,6 +58,12 @@ _BIG = 3e38
 # this budget and consumes each chunk before screening the next.
 _GMIN_BUDGET = 2 << 30
 
+# exact f32 row squared-norms of a device-resident table, one program
+# parameter (the square fuses into the reduce; no (rows, d) intermediate)
+_row_sqnorms_dev = jax.jit(
+    lambda t: jnp.sum(jnp.square(t.astype(jnp.float32)), axis=1)
+)
+
 
 def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
@@ -626,11 +632,14 @@ class BlockScanState:
             else:
                 # norms from the corpus copy already in HBM — feeding the
                 # host array through a device op would upload the corpus a
-                # second time (~30 min at 10M rows on a tunneled rig)
-                norms = jnp.einsum(
-                    "nd,nd->n", self.corpus_flat_f32, self.corpus_flat_f32,
-                    precision="highest", preferred_element_type=jnp.float32,
-                ).reshape(n_super * S_TILES, tile)
+                # second time (~30 min at 10M rows on a tunneled rig).
+                # Square-sum, NOT einsum(x, x): einsum stages the table as
+                # TWO program parameters and XLA's compile-time HBM bound
+                # counts both — 18.4 GB at the 10M demo's 19.2M-row
+                # redundant table, a compile OOM (logs/tpu_10m_hard_run3.log)
+                norms = _row_sqnorms_dev(self.corpus_flat_f32).reshape(
+                    n_super * S_TILES, tile
+                )
             sq = jnp.where(self.tiles_ids >= 0, norms, _BIG)
         self.bsq = sq
 
