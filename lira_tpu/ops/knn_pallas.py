@@ -166,6 +166,40 @@ def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _r1_blocks(d: int) -> tuple[int, int] | None:
+    """(q_block, c_block) sized to the dimensionality, or None if no
+    block shape fits.
+
+    The round-1 kernel's per-step VMEM is the double-buffered f32
+    q-block + corpus-chunk: 2·4·d·(q_block + c_block) bytes.  The fixed
+    (512, 2048) choice is ~19.7 MB at d=960 (GIST) — over the 16 MB
+    scoped-VMEM limit (measured: logs/gist_dim_bench.log, 64 KiB over).
+    Budget 14 MB for headroom (the out block + norms are small); prefer
+    shrinking the corpus chunk, then the query block.  c_block must be a
+    multiple of 1024: the (c_block//128, ·) bsq/out block sublane counts
+    must divide by 8 (Mosaic (8, 128) block alignment).
+    """
+    budget = 14 * 1024 * 1024
+    for q_block in (512, 256, 128):
+        c_block = (budget // (8 * d) - q_block) // 1024 * 1024
+        c_block = min(2048, c_block)
+        if c_block >= 1024:
+            return q_block, c_block
+    return None  # d too wide for the smallest legal blocks → XLA path
+
+
+def _r2_sub(kg: int, d: int, q_tile: int) -> int:
+    """Round-2 sub-batch: the (sub, kg, 128, d) f32 gather stage must stay
+    within a ~256 MB HBM budget (at d=960 the fixed sub=512 staged ~4 GB
+    per sub-batch next to the corpus)."""
+    budget = 256 * 1024 * 1024
+    sub = budget // max(kg * 128 * d * 4, 1)
+    sub = 1 << max(int(sub).bit_length() - 1, 3)  # pow2 floor, ≥ 8
+    while q_tile % sub:
+        sub //= 2
+    return min(512, sub)
+
+
 def knn_fused(
     base,  # (n, d) host or device
     query,  # (nq, d) host or device; may alias base for self-kNN
@@ -193,7 +227,15 @@ def knn_fused(
         margin = 16 if precision == "int8" else 8
     base = jnp.asarray(base, jnp.float32)
     n, d = base.shape
-    n_pad = ((n + 2047) // 2048) * 2048  # round-1 chunk size
+    blocks = _r1_blocks(d)  # VMEM-budgeted round-1 blocks
+    if blocks is None:
+        # d too wide for the smallest legal Pallas blocks (> ~1.6k dims):
+        # the XLA tiled exact path has no per-step VMEM ceiling
+        from .knn import exact_knn
+
+        return exact_knn(base, query, k, metric=metric)
+    q_block, c_block = blocks
+    n_pad = ((n + c_block - 1) // c_block) * c_block
     if n_pad != n:
         base_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(base)
     else:
@@ -236,14 +278,17 @@ def knn_fused(
             ).astype(jnp.float32)
             gsel = _round1_select(
                 qt_r1, base_r1, bsq_g, metric, kg, precision="default",
-                interpret=interpret, t=t_eff,
+                q_block=q_block, c_block=c_block, interpret=interpret, t=t_eff,
             )
         else:
             gsel = _round1_select(
                 qt, base_p, bsq_g, metric, kg, precision=precision,
-                interpret=interpret,
+                q_block=q_block, c_block=c_block, interpret=interpret,
             )
-        sc, ids = _round2_rescan(qt, gsel, tiles, bsq_g, metric, min(k, n), sub=min(512, q_tile))
+        sc, ids = _round2_rescan(
+            qt, gsel, tiles, bsq_g, metric, min(k, n),
+            sub=_r2_sub(gsel.shape[1], d, q_tile),
+        )
         out_s.append(sc[: e - s])
         out_i.append(ids[: e - s])
     scores = np.asarray(jnp.concatenate(out_s))

@@ -73,3 +73,42 @@ def test_knn_fused_adversarial_tile_concentration(rng):
     _, ids = knn_fused(base, query, k=10, interpret=True, precision="highest")
     for b in range(8):
         assert set(ids[b]) == set(range(256, 266))
+
+
+def test_r1_blocks_vmem_budget():
+    """Round-1 block sizes shrink with d so the double-buffered f32
+    operands stay under the 16 MB scoped-VMEM limit (the fixed (512, 2048)
+    blocks failed compile at d=960 — logs/gist_dim_bench.log)."""
+    from lira_tpu.ops.knn_pallas import _r1_blocks
+
+    for d in (16, 128, 512, 960, 1024, 1536):
+        qb, cb = _r1_blocks(d)
+        assert 2 * 4 * d * (qb + cb) <= 16 * 1024 * 1024, (d, qb, cb)
+        assert qb % 128 == 0 and cb % 128 == 0
+        assert 512 % qb == 0  # q_tile (multiple of 512) stays divisible
+    assert _r1_blocks(128) == (512, 2048)  # 128d keeps the measured blocks
+    assert _r1_blocks(960)[1] <= 1024
+    # beyond ~1.6k dims no legal block shape fits → None → XLA exact path
+    assert _r1_blocks(3072) is None and _r1_blocks(8192) is None
+
+
+def test_knn_fused_ultrawide_xla_fallback(rng):
+    """d > ~1.6k has no legal Pallas block shape — knn_fused must fall
+    through to the XLA exact path and stay exact."""
+    base = rng.normal(size=(200, 3072)).astype(np.float32)
+    query = rng.normal(size=(8, 3072)).astype(np.float32)
+    _, ids = knn_fused(base, query, k=4, interpret=True, precision="highest")
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(np.asarray(ids), expected)
+
+
+def test_knn_fused_gist_dim(rng):
+    """Exactness at GIST dimensionality (d=960) where the d-aware blocks
+    and the budgeted round-2 sub-batch take effect."""
+    base = rng.normal(size=(700, 960)).astype(np.float32)
+    query = rng.normal(size=(20, 960)).astype(np.float32)
+    _, ids = knn_fused(base, query, k=5, interpret=True, precision="highest")
+    d = cdist(query, base, metric="sqeuclidean")
+    expected = np.argsort(d, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(ids, expected)

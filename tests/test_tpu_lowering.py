@@ -65,3 +65,25 @@ def _export_screen(quantized: bool, sel_rows: int = 128):
 def test_screen_kernel_lowers_for_tpu(quantized, sel_rows):
     exp = _export_screen(quantized, sel_rows)
     assert len(exp.mlir_module_serialized) > 0
+
+def test_round1_kernel_lowers_for_tpu_gist_dim():
+    """ops.knn_pallas round-1 sweep at GIST dimensionality with the
+    d-aware (q_block, c_block) — pins the lowering contract of the shape
+    that failed scoped-VMEM compile with the old fixed blocks."""
+    from lira_tpu.ops.knn_pallas import _r1_blocks, _round1_select
+
+    d = 960
+    q_block, c_block = _r1_blocks(d)
+    n_pad = 4 * c_block
+
+    def prog(q, base, bsq):
+        return _round1_select(q, base, bsq, "L2", 18,
+                              q_block=q_block, c_block=c_block)
+
+    args = [
+        jax.ShapeDtypeStruct((q_block, d), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32),
+    ]
+    exp = jax.export.export(jax.jit(prog), platforms=["tpu"])(*args)
+    assert len(exp.mlir_module_serialized) > 0
