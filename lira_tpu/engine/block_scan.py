@@ -215,7 +215,11 @@ def _screen_rescore(
     tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
     corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
     bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
-    corpus_flat_f32: jax.Array,  # f32 corpus for the exact rescore
+    corpus_flat_f32: jax.Array | None,  # rescore corpus; None = same buffer
+    # as corpus_flat (f32 and capacity modes) — passing the identical array
+    # as a SECOND program parameter makes XLA's compile-time HBM bound count
+    # the table twice (18.6 GB "arguments" at the 10M demo's 19.2M-row
+    # table, a compile OOM: logs/tpu_10m_hard_run4.log) — None aliases it
     tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
     *,
     metric: str,
@@ -244,6 +248,8 @@ def _screen_rescore(
     stays f32-exact."""
     B, d = q_perm.shape
     n_blocks, U = supers.shape
+    if corpus_flat_f32 is None:
+        corpus_flat_f32 = corpus_flat
     quantized = corpus_flat.dtype == jnp.int8
     if quantized:
         qp = q_perm * dim_scale[None, :]
@@ -414,7 +420,8 @@ def _scan_all(
     tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
     corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
     bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
-    corpus_flat_f32: jax.Array,  # f32 corpus for the exact rescore
+    corpus_flat_f32: jax.Array | None,  # rescore corpus (None = corpus_flat;
+    # see _screen_rescore — avoids double-counting the table as two params)
     tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
     metric: str,
     kg: int,
@@ -645,6 +652,10 @@ class BlockScanState:
 
         tb = np.asarray(tile_bucket, np.int32)
         pad_tiles = n_super * S_TILES - len(tb)
+        # set AFTER corpus_flat/corpus_flat_f32 above
+        self.rescore_arg = (
+            None if self.corpus_flat_f32 is self.corpus_flat else self.corpus_flat_f32
+        )
         self.tile_bucket = (
             np.concatenate([tb, np.full(pad_tiles, -1, np.int32)]) if pad_tiles else tb
         )
@@ -849,7 +860,7 @@ def blocked_search(
     sub = _round2_sub(kg, sel_rows, d, qb)
     scores, ids = _scan_all(
         h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
-        state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
+        state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
         precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
         dim_scale=state.dim_scale,
@@ -923,7 +934,7 @@ def blocked_search_stream(
         sub = _round2_sub(kg, sel_rows, d, h["qb"])
         return _scan_all(
             h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
-            state.corpus_flat, state.bsq, state.corpus_flat_f32, state.tiles_ids,
+            state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
             metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=h["qb"],
             precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
             dim_scale=state.dim_scale,

@@ -292,6 +292,24 @@ def test_capacity_mode_matches_f32(rng):
     np.testing.assert_array_equal(r_seq.ids, r_str.ids)
 
 
+def test_rescore_arg_aliases_shared_table(rng):
+    """When the rescore table IS the screen table (f32 and capacity modes),
+    the jitted scan must receive it as ONE program parameter: passing the
+    identical array twice makes XLA's compile-time HBM bound count the
+    table twice — an 18.6 GB 'arguments' compile OOM at the 10M demo's
+    19.2M-row table (logs/tpu_10m_hard_run4.log)."""
+    _, _, e_f32 = _build(rng, "L2")
+    st = e_f32._block_state
+    assert st.corpus_flat is st.corpus_flat_f32
+    assert st.rescore_arg is None
+    _, _, e_cap = _build(rng, "L2", scan_dtype="bfloat16", store_f32=False)
+    assert e_cap._block_state.rescore_arg is None
+    _, _, e_bf16 = _build(rng, "L2", scan_dtype="bfloat16")
+    assert e_bf16._block_state.rescore_arg is e_bf16._block_state.corpus_flat_f32
+    _, _, e_i8 = _build(rng, "L2", scan_dtype="int8")
+    assert e_i8._block_state.rescore_arg is e_i8._block_state.corpus_flat_f32
+
+
 def test_capacity_mode_requires_bf16_blocked(rng):
     from lira_tpu.engine.serve import QueryEngine
 
