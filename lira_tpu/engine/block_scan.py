@@ -124,7 +124,7 @@ def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int):
 
 
 def _union_groupmin_kernel(
-    sref, q_ref, chunk_ref, bsq_ref, *rest, metric, precision, sel_rows=128,
+    sref, q_ref, chunk_ref, *rest, metric, precision, sel_rows=128,
     quantized=False,
 ):
     """One (block, union-supertile) step: (S·128, d) × (qb, d)ᵀ on the MXU →
@@ -135,9 +135,23 @@ def _union_groupmin_kernel(
     must be relayouted (qb, S) → (S, qb) — measured at ~2× the whole
     kernel's cost (scripts/kernel_micro.py: bf16 56→89 TFLOPS, f32 22→27
     by switching).  Transposed, the min is a cheap vertical reduce and the
-    output orientation falls out for free.  bsq_ref arrives as a flat
-    (S·128, 1) column (BlockScanState.bsq_col): reshaping a (S, 128) block
-    to (S·128, 1) in-kernel is a lane→sublane relayout Mosaic rejects.
+    output orientation falls out for free.
+
+    Row norms (the L2 ‖x‖² term) are computed IN-KERNEL from the chunk
+    already in VMEM — a lane reduction over d, whose (S·128, 1) result is
+    sublane-oriented by construction.  A precomputed norms operand cannot
+    be: its dense HBM form is lane-oriented (the (S, 128) → (S·128, 1)
+    in-kernel reshape is a lane→sublane relayout Mosaic rejects), and a
+    flat (N, 1) HBM column gets the (8, 128) tiled layout — a 128× padding
+    blowup that compile-OOMed every ≥10M-row corpus (9.2 GB of padding at
+    19.3M rows, logs/tpu_10m_hard_run4.log).  The VPU cost is S·128·d
+    mul-adds per step — ~0.1% of the step's MXU work at qb=1024.
+    Padding-row correctness without a per-row penalty operand: the
+    builders store each pad row as a COPY of its bucket's last real row
+    (same tile, same selection group), so mixed groups' minima are exact
+    for every metric and dtype; selection groups consisting purely of
+    padding are masked outside the kernel via the per-group bucket map
+    (_screen_rescore derives it from per-tile pad counts).
 
     sel_rows < 128 emits finer-grained minima (e.g. 32-row groups): round 2
     then gathers sel_rows-row groups instead of whole 128-row tiles,
@@ -150,17 +164,28 @@ def _union_groupmin_kernel(
     quantized=True is the int8 screen: chunk/q arrive as symmetric int8
     (corpus per-dim scale folded into the query before quantization, see
     _screen_rescore), the dot accumulates in int32 on the MXU at 2× the
-    bf16 rate and ¼ the f32 HBM bytes, and `rest` carries one extra SMEM
-    scalar — the dequantization factor t (×2 for L2) applied to the int32
-    dot before the f32 bsq subtraction."""
+    bf16 rate and ¼ the f32 HBM bytes, and `rest` carries two extra
+    operands — the SMEM dequantization scalar t (×2 for L2) applied to the
+    int32 dot, and the (d, 1) per-dim squared scale s² for the in-kernel
+    norms ‖x̂‖² = Σ_d s_d²·x8_d² (norms of the quantized points — fully
+    consistent with the quantized dot; the margin absorbs the quantization
+    error exactly as before)."""
     if quantized:
-        t_ref, out_ref = rest
+        t_ref, s2_ref, out_ref = rest
         doti = jax.lax.dot_general(
             chunk_ref[...], q_ref[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (S*128, qb) exact: |dot| ≤ 127²·d < 2^24 at d ≤ 1024
-        scores = bsq_ref[...] - t_ref[0, 0] * doti.astype(jnp.float32)
+        scores = -t_ref[0, 0] * doti.astype(jnp.float32)
+        if metric != "inner_product":
+            xf = chunk_ref[...].astype(jnp.float32)
+            norms = jax.lax.dot_general(
+                xf * xf, s2_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S*128, 1) = Σ_d s_d²·x8² on the MXU
+            scores = norms + scores
     else:
         (out_ref,) = rest
         dot = jax.lax.dot_general(
@@ -170,9 +195,11 @@ def _union_groupmin_kernel(
             preferred_element_type=jnp.float32,
         )  # (S*128, qb)
         if metric == "inner_product":
-            scores = bsq_ref[...] - dot
+            scores = -dot
         else:
-            scores = bsq_ref[...] - 2.0 * dot
+            xf = chunk_ref[...].astype(jnp.float32)
+            norms = jnp.sum(xf * xf, axis=1, keepdims=True)  # (S·128, 1) f32
+            scores = norms - 2.0 * dot
     n_groups = S_TILES * 128 // sel_rows
     mins = [
         scores[g * sel_rows : (g + 1) * sel_rows, :].min(axis=0, keepdims=True)
@@ -221,6 +248,10 @@ def _screen_rescore(
     # the table twice (18.6 GB "arguments" at the 10M demo's 19.2M-row
     # table, a compile OOM: logs/tpu_10m_hard_run4.log) — None aliases it
     tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
+    tile_pad_count: jax.Array,  # (n_super*S,) i32 pad rows per tile — pads
+    # are a per-bucket (hence per-tile) suffix; used to mask all-pad
+    # selection groups in the bucket map (the kernel has no per-row penalty
+    # operand — see _union_groupmin_kernel)
     *,
     metric: str,
     kg: int,
@@ -258,6 +289,9 @@ def _screen_rescore(
         t_eff = jnp.reshape(
             t if metric == "inner_product" else 2.0 * t, (1, 1)
         ).astype(jnp.float32)
+        # (d, 1) per-dim squared scale — the kernel's in-kernel quantized
+        # norms ‖x̂‖² = Σ_d s_d²·x8² (see _union_groupmin_kernel)
+        s2_col = (dim_scale * dim_scale).reshape(d, 1).astype(jnp.float32)
     else:
         q_r1 = q_perm.astype(corpus_flat.dtype)
     G = 128 // sel_rows  # selection groups per 128-row tile
@@ -281,7 +315,6 @@ def _screen_rescore(
         ),
     )
     q_rows = q_r1.reshape(n_blocks * qb, d)
-    bsq_col = bsq.reshape(-1, 1)  # flat column for the kernel (see its docstring)
 
     def screen_chunk(sup_c, s: int, e: int):
         in_specs = [
@@ -292,18 +325,19 @@ def _screen_rescore(
                 (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (S_TILES * 128, 1), lambda i, u, sref: (sref[i, u], 0),
-                memory_space=pltpu.VMEM,
-            ),
         ]
-        operands = [sup_c, q_rows, corpus_flat, bsq_col]
+        operands = [sup_c, q_rows, corpus_flat]
         if quantized:
             in_specs.append(
                 pl.BlockSpec((1, 1), lambda i, u, sref: (0, 0),
                              memory_space=pltpu.SMEM)
             )
             operands.append(t_eff)
+            in_specs.append(
+                pl.BlockSpec((d, 1), lambda i, u, sref: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(s2_col)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(e - s, U),
@@ -323,9 +357,23 @@ def _screen_rescore(
     groups_f32 = corpus_flat_f32.reshape(-1, sel_rows, d)
     bsq_g = bsq.reshape(-1, sel_rows)
     ids_g = tiles_ids.reshape(-1, sel_rows)
+    # per-tile bucket map → per-group, with ALL-PAD groups masked to -1:
+    # pad rows are a per-bucket suffix (hence a suffix of their tile), so
+    # group j of G within a tile is pure padding iff the tile's pad count
+    # covers it.  Mixed groups stay exact in the kernel (pads duplicate a
+    # real in-group row); all-pad groups' minima are a real row's score
+    # (the copy) and MUST be masked here or they could displace true groups
+    # in the top-kg selection.
+    tpc = tile_pad_count[
+        (supers[:, :, None] * S_TILES
+         + jnp.arange(S_TILES, dtype=jnp.int32)[None, None, :]
+         ).reshape(n_blocks, U * S_TILES)
+    ]  # (n_blocks, U*S) — supers pad slots (0) gather tile 0-7: tb -1 wins
     if G > 1:
-        # per-tile bucket map → per-group (groups within a tile are contiguous)
         tb = jnp.repeat(tb, G, axis=1)
+        tpc = jnp.repeat(tpc, G, axis=1)
+    gpos = jnp.tile(jnp.arange(G, dtype=jnp.int32), U * S_TILES)[None, :]
+    tb = jnp.where(tpc >= (G - gpos) * sel_rows, -1, tb)
     kg_eff = min(kg, U * SG)
     k_loc = min(fetch_k, kg_eff * sel_rows)
 
@@ -423,6 +471,7 @@ def _scan_all(
     corpus_flat_f32: jax.Array | None,  # rescore corpus (None = corpus_flat;
     # see _screen_rescore — avoids double-counting the table as two params)
     tiles_ids: jax.Array,  # (n_super*S, 128) i32 global ids
+    tile_pad_count: jax.Array,  # (n_super*S,) i32 — see _screen_rescore
     metric: str,
     kg: int,
     fetch_k: int,
@@ -443,6 +492,7 @@ def _scan_all(
     probed_p = probed[perm].reshape(n_blocks, qb, -1)
     neg, ids, k_loc = _screen_rescore(
         q_perm, probed_p, supers, tb, corpus_flat, bsq, corpus_flat_f32, tiles_ids,
+        tile_pad_count,
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
         interpret=interpret, sub=sub, screen_only=screen_only, sel_rows=sel_rows,
         dim_scale=dim_scale,
@@ -604,6 +654,32 @@ class BlockScanState:
         f32 device copy is available to reduce)."""
         self.store_f32 = store_f32 or scan_dtype != jnp.bfloat16
         self.dim_scale = None
+        # Pad rows become COPIES of their bucket's last real row: the screen
+        # kernel computes row norms in-kernel (no per-row penalty operand —
+        # the flat (N, 1) norms column's tiled HBM layout was a 128× padding
+        # blowup, see _union_groupmin_kernel), so a pad row must score
+        # exactly like a real row of its own selection group.  Pads are a
+        # per-bucket suffix, so the last real row at-or-before each position
+        # is in the same tile AND the same (32/64/128-row) group whenever
+        # the group holds any real row; all-pad groups are masked by the
+        # per-group bucket map instead (_screen_rescore).  Round 2 still
+        # masks pads exactly by id, and the int8 per-dim scale is unchanged
+        # (copies introduce no new values).
+        idsf = np.asarray(ids)
+        real = idsf >= 0
+        last_real = np.maximum.accumulate(
+            np.where(real, np.arange(len(idsf), dtype=np.int64), -1)
+        )
+        pad_pos = np.nonzero(~real & (last_real >= 0))[0]
+        if len(pad_pos):
+            fill = jax.jit(
+                lambda c, p, s: c.at[p].set(c[s]), donate_argnums=(0,)
+            )
+            corpus_dev = fill(
+                corpus_dev,
+                jnp.asarray(pad_pos, jnp.int32),
+                jnp.asarray(last_real[pad_pos], jnp.int32),
+            )
         if scan_dtype == jnp.bfloat16:
             if not self.store_f32:
                 # capacity mode: ONE bf16 table serves both rounds — 0.5×
@@ -658,6 +734,11 @@ class BlockScanState:
         )
         self.tile_bucket = (
             np.concatenate([tb, np.full(pad_tiles, -1, np.int32)]) if pad_tiles else tb
+        )
+        # per-tile pad-row counts (pads are a per-tile suffix) — drives the
+        # all-pad selection-group masking in _screen_rescore
+        self.tile_pad_count = jnp.asarray(
+            (~real).reshape(n_super * S_TILES, tile).sum(axis=1).astype(np.int32)
         )
         self.n_super = n_super
         self.scan_dtype = scan_dtype
@@ -861,6 +942,7 @@ def blocked_search(
     scores, ids = _scan_all(
         h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
         state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
+        state.tile_pad_count,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
         precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
         dim_scale=state.dim_scale,
@@ -935,6 +1017,7 @@ def blocked_search_stream(
         return _scan_all(
             h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
             state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
+            state.tile_pad_count,
             metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=h["qb"],
             precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
             dim_scale=state.dim_scale,

@@ -69,7 +69,7 @@ def _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm):
 
 
 def _local_blocked_scan_pallas(
-    q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids, dim_scale,
+    q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids, tpc, dim_scale,
     *, fetch_k: int, kg: int, k: int, metric: str, axis: str,
     qb: int, precision: str, interpret: bool, sub: int, sel_rows: int = 128,
 ):
@@ -84,6 +84,8 @@ def _local_blocked_scan_pallas(
     tb: (1, n_blocks, U*S) bucket per local union tile (-1 pad);
     corpus/corpus_f32: (1, t_pad, 128, d) local tile tables (round-1 dtype /
     f32), t_pad a multiple of S; bsq/ids: (1, t_pad, 128);
+    tpc: (1, t_pad) i32 per-tile pad-row counts (all-pad selection-group
+    masking, see block_scan._screen_rescore);
     dim_scale: (d,) f32 replicated — per-dim int8 quantization scale of the
     round-1 corpus (all-ones and unused unless corpus is int8).
     Returns (scores (B_pad, k), ids (B_pad, k)) in caller order."""
@@ -96,7 +98,7 @@ def _local_blocked_scan_pallas(
     q_perm = q[perm]
     probed_p = probed[perm].reshape(n_blocks, qb, -1)
     neg, oid, k_loc = _screen_rescore(
-        q_perm, probed_p, supers, tb, corpus, bsq, corpus_f32, ids,
+        q_perm, probed_p, supers, tb, corpus, bsq, corpus_f32, ids, tpc[0],
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
         interpret=interpret, sub=sub, sel_rows=sel_rows, dim_scale=dim_scale,
     )
@@ -352,13 +354,28 @@ class ShardedQueryEngine:
                 rows = vec[pos : pos + nt * self.tile]
                 rows[ok] = x_d[pid[ok]]
                 idt[pos : pos + nt * self.tile] = pid
+            # pad rows copy the bucket's last real row (a tile is never
+            # split across devices, so the source is always in this shard) —
+            # the Pallas screen computes row norms in-kernel and has no
+            # per-row penalty operand (block_scan._union_groupmin_kernel)
+            real = idt >= 0
+            last_real = np.maximum.accumulate(
+                np.where(real, np.arange(len(idt), dtype=np.int64), -1)
+            )
+            pad = ~real & (last_real >= 0)
+            vec[pad] = vec[last_real[pad]]
             return vec.reshape(t_pad, self.tile, dim), idt.reshape(t_pad, self.tile)
 
         shard = NamedSharding(mesh, P(axis))
         devs = list(mesh.devices.flat)
-        vec_shards, id_shards, sq_shards = [], [], []
+        vec_shards, id_shards, sq_shards, tpc_shards = [], [], [], []
         for d in range(n_dev):
             vec, idt = _device_tables(d)
+            tpc_shards.append(
+                jax.device_put(
+                    (idt < 0).sum(axis=1).astype(np.int32)[None], devs[d]
+                )
+            )
             if metric == "inner_product":
                 sq = np.where(idt >= 0, 0.0, _BIG).astype(np.float32)
             else:
@@ -380,6 +397,9 @@ class ShardedQueryEngine:
         self.corpus = jax.make_array_from_single_device_arrays(full, shard, vec_shards)
         self.corpus_ids = jax.make_array_from_single_device_arrays(full[:3], shard, id_shards)
         self.corpus_sq = jax.make_array_from_single_device_arrays(full[:3], shard, sq_shards)
+        self.tile_pads = jax.make_array_from_single_device_arrays(
+            full[:2], shard, tpc_shards
+        )
         if not store_f32:
             self.corpus_r1 = self.corpus  # one bf16 table for both rounds
             self.dim_scale = jnp.ones((dim,), jnp.float32)
@@ -458,7 +478,8 @@ class ShardedQueryEngine:
                 )
                 in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
                             P(self.axis), P(self.axis), P(self.axis),
-                            P(self.axis), P())  # trailing P(): dim_scale
+                            P(self.axis), P(self.axis),  # tile_pads
+                            P())  # trailing P(): dim_scale
             else:
                 body = partial(
                     _local_blocked_scan_all, fetch_k=fetch_k, kg=kg, k=k,
@@ -603,7 +624,7 @@ class ShardedQueryEngine:
                 jax.device_put(jnp.asarray(supers), shard),
                 jax.device_put(jnp.asarray(tb_s), shard),
                 self.corpus_r1, self.corpus_sq, self.corpus, self.corpus_ids,
-                self.dim_scale,
+                self.tile_pads, self.dim_scale,
             )
         fn = self._scan_fn(fetch_k, kg, k_out, U, chunk, h["qb"])
         return fn(

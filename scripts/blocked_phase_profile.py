@@ -123,12 +123,12 @@ def main():
             t_screen, _ = timed(
                 _scan_all, q_dev, probed, perm, s_dev, tb_dev,
                 state.corpus_flat, state.bsq, state.rescore_arg,
-                state.tiles_ids, screen_only=True, **common,
+                state.tiles_ids, state.tile_pad_count, screen_only=True, **common,
             )
             t_full, _ = timed(
                 _scan_all, q_dev, probed, perm, s_dev, tb_dev,
                 state.corpus_flat, state.bsq, state.rescore_arg,
-                state.tiles_ids, **common,
+                state.tiles_ids, state.tile_pad_count, **common,
             )
             ndis = float(np.asarray(ndis_d[:batch]).mean())
             u_tiles = supers.shape[1]

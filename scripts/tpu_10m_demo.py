@@ -51,6 +51,10 @@ def main():
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
     n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 40
     regime = sys.argv[5] if len(sys.argv) > 5 else "hard"
+    # serving screen dtype: float32 | bfloat16 | int8 | capacity
+    # (f32 fits one chip at 10M since the shared-table aliasing +
+    # in-kernel-norms fixes: table 9.3 GB + ~2.2 GB temps < 15.75 GB)
+    mode = sys.argv[6] if len(sys.argv) > 6 else "float32"
     d, k = 128, 10
 
     rng = np.random.default_rng(43)
@@ -200,8 +204,11 @@ def main():
     eng = QueryEngine(
         x_d, layout, centroids, scaler, params,
         n_mul=cfg.n_mul, scan_impl="blocked", probe_cap=256,
+        scan_dtype="bfloat16" if mode == "capacity" else mode,
+        store_f32=mode != "capacity",
     )
-    print(f"[engine] blocked engine built ({time.time() - t0:.1f}s)", flush=True)
+    print(f"[engine] blocked engine built, mode={mode} ({time.time() - t0:.1f}s)",
+          flush=True)
     # hard regime needs low thresholds for the high-recall tail (the 1M
     # LVI sweep reaches recall 0.955 at thr 0.05)
     thr = (np.array([0.01, 0.03, 0.05, 0.1, 0.2, 0.35, 0.5, 0.7])

@@ -292,6 +292,55 @@ def test_capacity_mode_matches_f32(rng):
     np.testing.assert_array_equal(r_seq.ids, r_str.ids)
 
 
+@pytest.mark.parametrize("metric,scan_dtype", [
+    ("L2", "float32"), ("L2", "bfloat16"), ("L2", "int8"),
+    ("inner_product", "float32"), ("inner_product", "int8"),
+])
+def test_allpad_groups_never_displace(rng, metric, scan_dtype):
+    """Pad rows are stored as copies of the bucket's last real row, so
+    all-pad selection groups carry a REAL row's (possibly globally best)
+    score — if the per-group bucket map didn't mask them, they would
+    displace true groups from the top-kg selection and drop neighbors.
+
+    20 single-point buckets → each 128-row tile is 1 real + 127 pads: at
+    sel_rows=32 that is 20 mixed + 60 all-pad groups, and kg (fetch_k +
+    margin) < 20, so any unmasked all-pad duplicate of a strong bucket
+    would push a true bucket's group out.  Results must equal brute force
+    at thr 0 (all buckets probed)."""
+    import jax
+    import jax.numpy as jnp
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    n, dim, n_bkt = 20, 16, 20
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(9, dim)).astype(np.float32)
+    d2b = np.arange(n, dtype=np.int32)[:, None]  # one point per bucket
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    km = kmeans_fit(x_d, n_bkt, niter=2, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+    eng = QueryEngine(
+        x_d, layout, km.centroids, scaler, params, metric=metric, n_mul=1,
+        scan_impl="blocked", scan_dtype=scan_dtype, block_sel_rows=32,
+        block_margin=4,  # keep kg = 5 + 4 < 20 so displacement would bite
+    )
+    assert int(np.asarray(eng._block_state.tile_pad_count)[:n_bkt].min()) == 127
+    r = eng.search(x_q, 0.0, k=5)
+    if metric == "inner_product":
+        gt_scores = -(x_q @ x_d.T)
+    else:
+        gt_scores = (x_d[None] ** 2).sum(-1) - 2.0 * (x_q @ x_d.T)
+    gt = np.argsort(gt_scores, axis=1, kind="stable")[:, :5]
+    for i in range(len(x_q)):
+        assert set(r.ids[i][r.ids[i] >= 0]) == set(gt[i]), (metric, scan_dtype, i)
+
+
 def test_rescore_arg_aliases_shared_table(rng):
     """When the rescore table IS the screen table (f32 and capacity modes),
     the jitted scan must receive it as ONE program parameter: passing the

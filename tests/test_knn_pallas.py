@@ -58,11 +58,20 @@ def test_knn_fused_unpadded(rng):
 
 def test_self_knn_fused(rng):
     base = rng.normal(size=(2048, 8)).astype(np.float32)
-    knn = self_knn_fused(base, k=4, interpret=True, precision="highest")
+    knn = np.asarray(self_knn_fused(base, k=4, interpret=True, precision="highest"))
     d = cdist(base, base, metric="sqeuclidean")
     np.fill_diagonal(d, np.inf)
     expected = np.argsort(d, axis=1, kind="stable")[:, :4]
-    np.testing.assert_array_equal(knn, expected)
+    # the fused kernel scores ‖x‖²−2x·q in f32 while scipy computes
+    # ‖x−q‖²: candidates within one ULP of the k-th distance can swap
+    # (one observed swap at 5e-8 apart in a 2048×8 draw) — compare the
+    # DISTANCES of the returned ids, and ids exactly where no tie exists
+    rows = np.arange(len(base))[:, None]
+    np.testing.assert_allclose(d[rows, knn], d[rows, expected], rtol=1e-6)
+    tied = np.isclose(d[rows, knn], d[rows, expected], rtol=1e-6) & (knn != expected)
+    np.testing.assert_array_equal(np.where(tied, expected, knn), expected)
+    assert all(len(set(r)) == len(r) for r in knn)  # distinct neighbors
+    assert not (knn == np.arange(len(base))[:, None]).any()  # self excluded
 
 
 def test_knn_fused_adversarial_tile_concentration(rng):

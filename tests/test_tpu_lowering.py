@@ -28,13 +28,15 @@ def _export_screen(quantized: bool, sel_rows: int = 128):
             pl.BlockSpec((qb, d), lambda i, u, s: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S_TILES * 128, d), lambda i, u, s: (s[i, u], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_TILES * 128, 1), lambda i, u, s: (s[i, u], 0),
-                         memory_space=pltpu.VMEM),
         ]
         if quantized:
             in_specs.append(
                 pl.BlockSpec((1, 1), lambda i, u, s: (0, 0),
                              memory_space=pltpu.SMEM)
+            )
+            in_specs.append(
+                pl.BlockSpec((d, 1), lambda i, u, s: (0, 0),
+                             memory_space=pltpu.VMEM)
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(1, U), in_specs=in_specs,
@@ -52,10 +54,10 @@ def _export_screen(quantized: bool, sel_rows: int = 128):
         jax.ShapeDtypeStruct((1, U), jnp.int32),
         jax.ShapeDtypeStruct((qb, d), dt),
         jax.ShapeDtypeStruct((U * S_TILES * 128, d), dt),
-        jax.ShapeDtypeStruct((U * S_TILES * 128, 1), jnp.float32),
     ]
     if quantized:
         args.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        args.append(jax.ShapeDtypeStruct((d, 1), jnp.float32))
     return jax.export.export(jax.jit(prog), platforms=["tpu"])(*args)
 
 
