@@ -45,7 +45,9 @@ def main():
         f = np.load(cache)
         x_d, x_q, gt = f["x_d"], f["x_q"], f["gt"]
         print(f"corpus+gt from cache ({time.time() - t0:.1f}s)", flush=True)
-        b = synthetic_dataset(n_base=8, n_query=4, dim=dim, k_gt=k, name="gistbench")
+        # dummy shell bundle (k_gt=1, n_base tiny: must satisfy k_gt <= n_base);
+        # real arrays are swapped in from the cache on the next line
+        b = synthetic_dataset(n_base=8, n_query=4, dim=dim, k_gt=1, name="gistbench")
         b.base, b.query, b.groundtruth = x_d, x_q, gt
     else:
         b = synthetic_dataset(
