@@ -92,7 +92,11 @@ def _local_blocked_scan_pallas(
     supers, tb = supers[0], tb[0]
     B, d = q.shape
     corpus = corpus[0].reshape(-1, d)  # (t_pad*128, d) flat, supertile-aligned
-    corpus_f32 = corpus_f32[0].reshape(-1, d)
+    # corpus_f32 None = same buffer as corpus (f32 / capacity modes): the
+    # shared table must enter the shard_map program ONCE or the compile-time
+    # HBM bound counts it twice per device (single-chip analog:
+    # block_scan.BlockScanState.rescore_arg)
+    corpus_f32 = None if corpus_f32 is None else corpus_f32[0].reshape(-1, d)
     bsq, ids = bsq[0], ids[0]  # (t_pad, 128) == (n_super*S, 128)
     n_blocks = supers.shape[0]
     q_perm = q[perm]
@@ -476,10 +480,22 @@ class ShardedQueryEngine:
                     precision=precision, interpret=self.interpret, sub=sub,
                     sel_rows=self.sel_rows,
                 )
-                in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
-                            P(self.axis), P(self.axis), P(self.axis),
-                            P(self.axis), P(self.axis),  # tile_pads
-                            P())  # trailing P(): dim_scale
+                if self.corpus_r1 is self.corpus:
+                    # shared screen/rescore table (f32 / capacity): ONE
+                    # program parameter — see _local_blocked_scan_pallas
+                    inner = body
+                    body = (lambda q, p, pm, su, tb, c, sq, ids, tpc, ds,
+                            _inner=inner:
+                            _inner(q, p, pm, su, tb, c, sq, None, ids, tpc, ds))
+                    in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
+                                P(self.axis), P(self.axis), P(self.axis),
+                                P(self.axis),  # tile_pads
+                                P())  # dim_scale
+                else:
+                    in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
+                                P(self.axis), P(self.axis), P(self.axis),
+                                P(self.axis), P(self.axis),  # tile_pads
+                                P())  # trailing P(): dim_scale
             else:
                 body = partial(
                     _local_blocked_scan_all, fetch_k=fetch_k, kg=kg, k=k,
@@ -619,12 +635,16 @@ class ShardedQueryEngine:
         if self.local_impl == "pallas":
             supers, tb_s = self._super_unions(sel)
             fn = self._scan_fn(fetch_k, kg, k_out, supers.shape[2], chunk, h["qb"])
+            tables = (
+                (self.corpus_r1, self.corpus_sq)  # shared screen/rescore table
+                if self.corpus_r1 is self.corpus
+                else (self.corpus_r1, self.corpus_sq, self.corpus)
+            )
             return fn(
                 h["q"], h["probed"], h["perm"],
                 jax.device_put(jnp.asarray(supers), shard),
                 jax.device_put(jnp.asarray(tb_s), shard),
-                self.corpus_r1, self.corpus_sq, self.corpus, self.corpus_ids,
-                self.tile_pads, self.dim_scale,
+                *tables, self.corpus_ids, self.tile_pads, self.dim_scale,
             )
         fn = self._scan_fn(fetch_k, kg, k_out, U, chunk, h["qb"])
         return fn(
