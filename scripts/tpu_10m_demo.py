@@ -219,6 +219,19 @@ def main():
               f"nprobe={r['avg_nprobe']:.1f} ndis={r['avg_cmp']:.0f} "
               f"({100 * r['avg_cmp'] / n:.2f}% corpus) QPS={r['qps']:.0f}", flush=True)
 
+    # throughput at a production batch: the sweep above serves batch=n_q
+    # (sync-bound on a tunneled rig); tile the queries to 16k and measure
+    # the pipelined stream path at one mid-sweep operating point
+    big = np.tile(x_q, (max(1, 16384 // len(x_q)), 1))
+    thr_tp = 0.1 if regime == "hard" else 0.45
+    eng.search_stream(big[:4096], thr_tp, k, batch_size=4096)  # warmup/compile
+    t0 = time.time()
+    res = eng.search_stream(big, thr_tp, k, batch_size=4096)  # 4 batches in flight
+    dt = time.time() - t0
+    print(f"[serve-stream] thr={thr_tp} batch={len(big)} "
+          f"ndis={res.ndis.mean():.0f} QPS={len(big) / dt:.0f} "
+          f"({1e6 * dt / len(big):.0f} us/q sustained)", flush=True)
+
 
 if __name__ == "__main__":
     main()
