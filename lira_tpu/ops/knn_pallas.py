@@ -170,19 +170,28 @@ def _r1_blocks(d: int) -> tuple[int, int] | None:
     """(q_block, c_block) sized to the dimensionality, or None if no
     block shape fits.
 
-    The round-1 kernel's per-step VMEM is the double-buffered f32
-    q-block + corpus-chunk: 2·4·d·(q_block + c_block) bytes.  The fixed
-    (512, 2048) choice is ~19.7 MB at d=960 (GIST) — over the 16 MB
-    scoped-VMEM limit (measured: logs/gist_dim_bench.log, 64 KiB over).
-    Budget 14 MB for headroom (the out block + norms are small); prefer
-    shrinking the corpus chunk, then the query block.  c_block must be a
-    multiple of 1024: the (c_block//128, ·) bsq/out block sublane counts
-    must divide by 8 (Mosaic (8, 128) block alignment).
+    Empirical scoped-VMEM constraint, fit to compile-probes of
+    `_round1_select` against the real v5e Mosaic compiler at d=960/128
+    (every outcome matches):
+
+        8·d·(q_block + c_block) + 12·q_block·c_block  ≤  15.5 MB
+
+    First term: double-buffered f32 q + corpus-chunk operands; second:
+    the (q_block, c_block) f32 score temporaries (dot output, norms
+    broadcast, group-min reshape).  Probe matrix at d=960: (512,1024)
+    OOM 20.21M / (256,2048) OOM 16.03M / (512,2048) OOM 16.06M /
+    (128,2048) OOM 16.02M / (256,1024) and (128,1024) compile; the
+    production d=128 (512, 2048) blocks (measured 84-94 TFLOPS,
+    logs/kernel_micro*.log) sit at 15.2M and are preserved.  Prefer a
+    large q_block (amortizes the corpus stream over more queries), then
+    the largest c_block that fits.  c_block must be a multiple of 1024:
+    the (c_block//128, ·) bsq/out block sublane counts must divide by 8
+    (Mosaic (8, 128) block alignment).
     """
-    budget = 14 * 1024 * 1024
+    budget = int(15.5 * 1024 * 1024)
     for q_block in (512, 256, 128):
-        c_block = (budget // (8 * d) - q_block) // 1024 * 1024
-        c_block = min(2048, c_block)
+        c_max = (budget - 8 * d * q_block) // (8 * d + 12 * q_block)
+        c_block = min(2048, c_max // 1024 * 1024)
         if c_block >= 1024:
             return q_block, c_block
     return None  # d too wide for the smallest legal blocks → XLA path
