@@ -234,7 +234,10 @@ def knn_fused(
         interpret = _auto_interpret()
     if margin is None:
         margin = 16 if precision == "int8" else 8
+    self_mode = query is base  # self-kNN: one upload, queries slice base
     base = jnp.asarray(base, jnp.float32)
+    if self_mode:
+        query = base
     n, d = base.shape
     blocks = _r1_blocks(d)  # VMEM-budgeted round-1 blocks
     if blocks is None:
@@ -274,6 +277,15 @@ def knn_fused(
     else:
         base_r1 = base_p
 
+    # Large corpora: bound the dispatch queue.  The q-tile loop is async —
+    # JAX queues every iteration's intermediates (the (n_groups, q_tile)
+    # screen output + round-2 gathers, ~0.5 GB/tile at 1M×960) ahead of
+    # execution, and ~100 queued tiles next to the corpus copies exhausted
+    # HBM at GIST dims (logs/gist_dim_bench4.log RESOURCE_EXHAUSTED).
+    # Syncing once per tile costs one tunnel round trip (~30 ms) against
+    # seconds of per-tile compute at these sizes.
+    bound_queue = n_pad * d * 4 > (1 << 30)
+
     out_s, out_i = [], []
     for s in range(0, nq, q_tile):
         e = min(s + q_tile, nq)
@@ -298,6 +310,8 @@ def knn_fused(
             qt, gsel, tiles, bsq_g, metric, min(k, n),
             sub=_r2_sub(gsel.shape[1], d, q_tile),
         )
+        if bound_queue:
+            ids.block_until_ready()
         out_s.append(sc[: e - s])
         out_i.append(ids[: e - s])
     scores = np.asarray(jnp.concatenate(out_s))
