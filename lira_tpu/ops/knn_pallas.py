@@ -235,6 +235,7 @@ def knn_fused(
     if margin is None:
         margin = 16 if precision == "int8" else 8
     self_mode = query is base  # self-kNN: one upload, queries slice base
+    owns_base = not isinstance(base, jax.Array)  # we created the device copy
     base = jnp.asarray(base, jnp.float32)
     if self_mode:
         query = base
@@ -267,6 +268,16 @@ def knn_fused(
     nq = query.shape[0]
     q_tile = min(q_tile, max(512, nq))
     q_tile = ((q_tile + 511) // 512) * 512
+    if owns_base and base_p is not base:
+        # the padded table now carries the data: free the unpadded upload
+        # before the sweep — at 1M×960 it is 3.84 GB of dead HBM that
+        # pushed the rig's d2h fetch into RESOURCE_EXHAUSTED
+        # (logs/fetch_iso2.log; STATUS "GIST-dim fetch failure").  nq was
+        # taken from the original query above, so self-mode slices of
+        # base_p stay within the real [:n] rows.
+        if self_mode:
+            query = base_p
+        base = None
 
     if precision == "int8":
         # one-time symmetric per-dim quantization of the sweep corpus
