@@ -145,27 +145,64 @@ def serving_bench():
     _, gt = exact_knn(x_d, x_q[:n_gt], k)
     log(f"gt for {n_gt} queries ({time.perf_counter() - t0:.1f}s)")
 
+    from lira_tpu.engine.calibrate import calibrate_block_margin
+
+    sidecar = {"per_dtype": {}}
+
     def measure(scan_dtype):
-        """Measured QPS for one engine mode, oracle-asserted in-run."""
+        """Measured QPS for one engine mode, oracle-asserted in-run.
+
+        The selection margin is CALIBRATED in-run (engine/calibrate.py,
+        VERDICT r3 item 2): the zero-miss floor is measured on 2048 queries
+        at the operating threshold, then the fastest margin ≥ floor×safety
+        is picked from a measured candidate set — so the headline ships the
+        measured margin, not the conservative default, while the 64-query
+        exact-neighbor oracle below still asserts correctness at the margin
+        actually served."""
         t0 = time.perf_counter()
         eng = QueryEngine(x_d, layout, km.centroids, scaler, params,
                           probe_cap=128, scan_impl="blocked", block_q=1024,
                           scan_dtype=scan_dtype)
         outputs = eng.probe(x_q[:512])
         thr = float(np.quantile(outputs, 1.0 - 8 / n_bkt))  # ~8 probes/query
-        eng.search(x_q, thr, k)  # warmup/compile at the measured shape
-        log(f"engine[{scan_dtype}] + warmup ({time.perf_counter() - t0:.1f}s)")
+        log(f"engine[{scan_dtype}] built ({time.perf_counter() - t0:.1f}s)")
 
         t0 = time.perf_counter()
-        r = eng.search(x_q, thr, k)
-        elapsed = time.perf_counter() - t0
-        qps = batch / elapsed
+        cal = calibrate_block_margin(eng, x_q[:2048], thr, k,
+                                     ladder=(0, 2, 4, 8), safety=2.0)
+        log(f"calibrate[{scan_dtype}]: zero-miss at {cal.zero_miss_margin} "
+            f"groups, floor {cal.margin} (miss rates {cal.miss_rates}; "
+            f"{time.perf_counter() - t0:.1f}s)")
+
+        candidates = sorted({m for m in (cal.margin, 8, 16) if m >= cal.margin})
+        best = None  # (qps, margin, result, elapsed)
+        for m in candidates:
+            eng.block_margin = int(m)
+            t0 = time.perf_counter()
+            eng.search(x_q, thr, k)  # warmup/compile at the measured shape
+            log(f"warmup[{scan_dtype} m={m}] ({time.perf_counter() - t0:.1f}s)")
+            t0 = time.perf_counter()
+            r_m = eng.search(x_q, thr, k)
+            el = time.perf_counter() - t0
+            log(f"margin {m}: {batch / el:.0f} QPS")
+            if best is None or batch / el > best[0]:
+                best = (batch / el, int(m), r_m, el)
+        qps, margin, r, elapsed = best
+        eng.block_margin = margin
         ndis_pct = 100 * r.ndis.mean() / n
         hits = (r.ids[:n_gt, :, None] == gt[:, None, :]).any(axis=1)
         recall = hits.mean()
-        log(f"serve[{scan_dtype}]: nprobe≈{r.nprobe.mean():.1f} "
+        log(f"serve[{scan_dtype}]: margin={margin} nprobe≈{r.nprobe.mean():.1f} "
             f"ndis={r.ndis.mean():.0f} ({ndis_pct:.2f}% corpus) "
             f"recall@{k}={recall:.4f}: {qps:.0f} QPS ({1e6 * elapsed / batch:.0f} us/q)")
+        sidecar["per_dtype"][scan_dtype] = {
+            "qps": round(qps, 1), "margin": margin,
+            "zero_miss_margin": cal.zero_miss_margin,
+            "miss_rates": {str(m): v for m, v in cal.miss_rates.items()},
+            "ndis_pct": round(float(ndis_pct), 4),
+            "recall": round(float(recall), 4),
+            "nprobe": round(float(r.nprobe.mean()), 2),
+        }
 
         # correctness: 64 sampled queries vs a numpy oracle over the probed
         # buckets — exact neighbor-set match required (the bf16 mode's
@@ -184,17 +221,17 @@ def serving_bench():
             got = set(int(v) for v in r.ids[i] if v >= 0)
             assert got == expect, f"query {i}: engine != oracle"
         log(f"oracle check[{scan_dtype}]: neighbor sets exact on 64 sampled queries")
-        return qps
+        return qps, eng, outputs
 
     # headline: fastest oracle-exact screen wins — int8 (¼ the screen's HBM
     # bytes, int32 MXU) → bf16 (½, zero measured misses at this margin,
     # docs/bf16_screen.md) → all-f32.  Every candidate must pass the 64-query
     # exact-neighbor oracle above; a screen whose margin misses a tile on
     # this distribution trips the assertion and the next dtype is measured.
-    qps = None
+    qps, best = None, None
     for dtype in ("int8", "bfloat16", "float32"):
         try:
-            cand = measure(dtype)
+            cand, eng_c, outputs_c = measure(dtype)
         except Exception as exc:
             # oracle miss OR a per-dtype compile failure (e.g. the int8
             # Mosaic lowering on an older chip) — never let one dtype's
@@ -203,19 +240,69 @@ def serving_bench():
                 "trying the next screen dtype")
             continue
         if qps is None or cand > qps:
-            qps = cand
+            qps, best = cand, (dtype, eng_c, outputs_c)
+        else:
+            del eng_c
         if dtype != "int8":
             break  # int8 may lose to bf16 (rescore-bound); f32 never beats bf16
     if qps is None:
         raise AssertionError("every screen dtype failed the oracle")
 
+    # recall-targeted operating point (VERDICT r3 item 7): QPS at the
+    # cheapest threshold whose recall@k >= 0.95 on the gt sample, so the
+    # headline cannot drift toward low-recall operating points.  BASELINE's
+    # metric is the recall-vs-QPS curve; this is its >=0.95 row.
+    best_dtype, eng, outputs = best
+    r095 = None
+    for target_nprobe in (12, 16, 20, 24, 32, 48, 64, 96):
+        thr_t = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
+        t0 = time.perf_counter()
+        eng.search(x_q, thr_t, k)  # warmup at this union size
+        t_warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r_t = eng.search(x_q, thr_t, k)
+        el = time.perf_counter() - t0
+        hits_t = (r_t.ids[:n_gt, :, None] == gt[:, None, :]).any(axis=1)
+        rec_t = float(hits_t.mean())
+        log(f"recall-sweep[{best_dtype}] nprobe~{target_nprobe}: "
+            f"recall@{k}={rec_t:.4f} ndis={r_t.ndis.mean():.0f} "
+            f"{batch / el:.0f} QPS (warm {t_warm:.1f}s)")
+        if rec_t >= 0.95:
+            r095 = {
+                "qps": round(batch / el, 1), "recall": round(rec_t, 4),
+                "ndis_pct": round(float(100 * r_t.ndis.mean() / n), 4),
+                "nprobe": round(float(r_t.nprobe.mean()), 2),
+                "dtype": best_dtype,
+            }
+            log(f"recall>=0.95 point[{best_dtype}]: {r095}")
+            break
+    if r095 is None:
+        log("recall-sweep: no rung reached recall 0.95 (recorded as null)")
+
+    from lira_tpu.io.datasets import hard_regime_sig
+
     baseline = ref_cpu_qps()
-    print(json.dumps({
+    result = {
         "metric": "serve_1M_128d_k10_qps_at_0.8pct_ndis",
         "value": round(qps, 1),
         "unit": "qps",
+        # vs the reference engine on this host's ONE CPU core at matched
+        # ndis; search.cpp's query loop is serial (SURVEY §2.4) — per-core
+        # scaling context: logs/parallel_cpu_baseline.json
         "vs_baseline": round(qps / baseline, 3),
-    }), flush=True)
+        # regime versioning: corpus generator signature (VERDICT r3 item 7)
+        "corpus_sig": hard_regime_sig(),
+        "qps_at_recall095": None if r095 is None else r095["qps"],
+    }
+    sidecar.update(corpus_sig=hard_regime_sig(), recall095=r095,
+                   headline_dtype=best_dtype, ref_cpu_qps=baseline)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "logs", "bench_sidecar.json"), "w") as f:
+            json.dump(sidecar, f, indent=2)
+    except OSError:
+        pass
+    print(json.dumps(result), flush=True)
 
 
 def knn_fallback():

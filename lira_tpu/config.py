@@ -66,6 +66,13 @@ class Config:
     # here they are a flag: per-query nprobe study + kNN-tail analysis)
     run_diagnostics: bool = False
 
+    # index build: measure the zero-miss selection margin of the bf16/int8
+    # screens on this dataset's queries (engine/calibrate.py) and persist it
+    # in the artifact manifest; serving then defaults to the measured margin
+    # instead of the shipped one (docs/bf16_screen.md: the zero-miss point
+    # is data-dependent)
+    calibrate_margin: bool = False
+
     # derived (filled by update())
     pth_log: str | None = None
     file_name: str | None = None

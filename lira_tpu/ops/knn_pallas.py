@@ -227,8 +227,10 @@ def knn_fused(
     bytes per sweep — the sweep re-reads the whole corpus once per
     512-query block, so the one-time quantization pass amortizes ~Q/512×)
     with the engine's int8-screen formulation (block_scan._screen_rescore).
-    Round 2 always re-ranks at f32.  `margin=None` → 8, or 16 for int8
-    (2× coverage for quantization error, as in the serving engine).
+    Round 2 always re-ranks at f32.  `margin=None` → 8, or 16 for int8 —
+    the fused path's own offline sweep (scripts/bf16_margin_sweep.py,
+    docs/bf16_screen.md) measures int8 misses at margin 4 and zero at 8,
+    so 16 is that zero-miss point × 2 safety.
     """
     if interpret is None:
         interpret = _auto_interpret()

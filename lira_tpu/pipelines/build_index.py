@@ -69,6 +69,18 @@ def build_index(
         sel_predicts, sel_scores = infer(state, dist_d[selected], x_d[selected], sigma=cfg.sigma)
         data_2_bkt = apply_redundancy_subset(data_2_bkt, sel_scores, sel_predicts, selected)
 
+    extra_meta = {"k": cfg.k, "redundancy_ratio": cfg.redundancy_ratio}
+    if cfg.calibrate_margin:
+        # measured zero-miss selection margins for the approximate screens
+        # on THIS dataset's queries (ADVICE r3: the shipped bf16 default sits
+        # at the measured zero-miss point with no drift headroom — builds
+        # that opt in persist their own measured margin instead)
+        with stage_timer("calibrate screen margins", fw):
+            extra_meta["calibrated_margins"] = calibrate_screen_margins(
+                x_d, data_2_bkt, km.centroids, scaler, state.params,
+                x_q, n_bkt, cfg.k, log_file=fw,
+            )
+
     out_dir = out_dir or cfg.pth_log
     prefix = save_index_artifacts(
         out_dir,
@@ -79,10 +91,60 @@ def build_index(
         scaler=scaler,
         params=state.params,
         metric=cfg.dis_metric,
-        extra_meta={"k": cfg.k, "redundancy_ratio": cfg.redundancy_ratio},
+        extra_meta=extra_meta,
     )
     fprint(f">> artifacts saved under prefix {prefix}", fw)
     return prefix
+
+
+def calibrate_screen_margins(
+    x_d, data_2_bkt, centroids, scaler, params, x_q, n_bkt, k,
+    n_cal: int = 4096, log_file=None,
+) -> dict:
+    """Measured zero-miss selection margin per screen dtype on this index.
+
+    Runs engine/calibrate.calibrate_block_margin for the bfloat16 and int8
+    screens at a wide operating point (mean nprobe ≈ min(32, n_bkt/4) —
+    more probed tiles per query = more chances for a rounding miss, so the
+    wide point upper-bounds the narrow ones) and returns
+    {dtype: {"margin", "zero_miss_margin", "miss_rates"}} for the manifest.
+    A dtype whose engine fails to build (e.g. int8 Mosaic lowering off-TPU
+    variants) is skipped rather than failing the build.
+    """
+    from ..engine.calibrate import calibrate_block_margin
+    from ..engine.serve import QueryEngine
+
+    layout = build_bucket_layout(data_2_bkt, n_bkt)
+    q = np.asarray(x_q[:n_cal], np.float32)
+    out: dict = {}
+    for dtype in ("bfloat16", "int8"):
+        try:
+            eng = QueryEngine(
+                x_d, layout, centroids, scaler, params,
+                scan_impl="blocked", scan_dtype=dtype,
+            )
+            probe_out = eng.probe(q[: min(512, len(q))])
+            target = min(32.0, n_bkt / 4.0)
+            thr = float(np.quantile(probe_out, 1.0 - target / n_bkt))
+            cal = calibrate_block_margin(eng, q, thr, k)
+            out[dtype] = {
+                "margin": int(cal.margin),
+                "zero_miss_margin": (
+                    None if cal.zero_miss_margin is None
+                    else int(cal.zero_miss_margin)
+                ),
+                "miss_rates": {str(m): r for m, r in cal.miss_rates.items()},
+                "sel_rows": int(eng.block_sel_rows),
+            }
+            fprint(
+                f">> calibrated {dtype} screen margin: {cal.margin} groups "
+                f"(zero-miss at {cal.zero_miss_margin}, sel_rows="
+                f"{eng.block_sel_rows}, {len(q)} queries)", log_file,
+            )
+            del eng
+        except Exception as exc:  # pragma: no cover - env-specific
+            fprint(f">> margin calibration skipped for {dtype}: {exc}", log_file)
+    return out
 
 
 def main(argv=None):

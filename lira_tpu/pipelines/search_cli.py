@@ -19,6 +19,29 @@ from ..io.datasets import load_data
 from ..partition.assign import build_bucket_layout
 
 
+def manifest_margin(manifest: dict, scan_dtype: str,
+                    sel_rows: int | None = None) -> int | None:
+    """Calibrated selection margin for `scan_dtype` from the build manifest.
+
+    build_index --calibrate_margin persists the measured zero-miss margin
+    (in selection groups, with the sel_rows it was measured at).  If the
+    serving engine runs a different granularity the margin is rescaled to
+    keep ROW coverage constant (block_scan._resolve_margin's invariant).
+    Returns None when the manifest has no calibration for this dtype —
+    the engine then uses the shipped default.
+    """
+    cal = (manifest.get("calibrated_margins") or {}).get(scan_dtype)
+    if not cal:
+        return None
+    margin = int(cal["margin"])
+    cal_rows = int(cal.get("sel_rows", 128))
+    if sel_rows is None:
+        sel_rows = 64 if scan_dtype == "float32" else 32
+    if sel_rows != cal_rows:
+        margin = int(np.ceil(margin * cal_rows / sel_rows))
+    return margin
+
+
 def run_search(
     artifacts_dir: str,
     prefix: str,
@@ -33,9 +56,12 @@ def run_search(
     stream_batch: int = 0,  # > 0: pipelined search_stream at this batch size
     scan_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'int8' screen
     capacity: bool = False,  # bf16 only: one table for both rounds (0.5x HBM)
+    block_margin: int | None = None,  # None: manifest calibration, else default
 ) -> list[dict]:
     art = load_index_artifacts(artifacts_dir, prefix)
     manifest = art["manifest"]
+    if block_margin is None:
+        block_margin = manifest_margin(manifest, scan_dtype)
     if bundle is None:
         bundle = load_data(dataset, data_path=data_path)
     if bundle.groundtruth is None:
@@ -53,7 +79,8 @@ def run_search(
         engine = ShardedQueryEngine(
             art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
             make_mesh(n_shards), metric=manifest["metric"], n_mul=manifest["n_mul"],
-            scan_dtype=scan_dtype, store_f32=not capacity, **kw,
+            scan_dtype=scan_dtype, store_f32=not capacity, margin=block_margin,
+            **kw,
         )
     else:
         kw = (
@@ -63,7 +90,8 @@ def run_search(
         engine = QueryEngine(
             art["x_d"], layout, art["centroids"], art["scaler"], art["params"],
             metric=manifest["metric"], n_mul=manifest["n_mul"],
-            scan_dtype=scan_dtype, store_f32=not capacity, **kw,
+            scan_dtype=scan_dtype, store_f32=not capacity,
+            block_margin=block_margin, **kw,
         )
 
     thresholds = np.arange(t_min, t_max + 1e-6, t_step)
@@ -116,11 +144,16 @@ def main(argv=None):
                    help="bf16 capacity mode: one bf16 table serves both "
                         "rounds (0.5x corpus HBM); exact order restored by "
                         "a host f32 re-rank (requires --scan_dtype bfloat16)")
+    p.add_argument("--block_margin", type=int, default=None,
+                   help="selection margin in groups (default: the manifest's "
+                        "calibrated margin if the index was built with "
+                        "--calibrate_margin, else the shipped default)")
     a = p.parse_args(argv)
     run_search(
         a.artifacts_dir, a.prefix, a.dataset, a.data_path, a.k,
         a.t_min, a.t_max, a.t_step, a.n_shards, stream_batch=a.stream_batch,
         scan_dtype=a.scan_dtype, capacity=a.capacity,
+        block_margin=a.block_margin,
     )
 
 

@@ -210,10 +210,11 @@ def main():
 
     lines += [
         "",
-        "Default margins: knn_fused uses 8; the blocked engine defaults to 8",
-        "selection groups at whole-tile granularity and scales the bf16",
-        "default to 4 * 128/sel_rows groups at sub-tile granularity (constant",
-        "row coverage; engine/block_scan.py::blocked_search).  bf16 rounding",
+        "Default margins: knn_fused uses 8 (bf16; 16 for int8).  The blocked",
+        "engine's bf16 default is 4 * 128/sel_rows selection groups at every",
+        "granularity (4 tiles of constant row coverage — the measured",
+        "zero-miss point; int8 uses 8 * 128/sel_rows = 2x its measured",
+        "zero-miss; engine/block_scan.py::_resolve_margin).  bf16 rounding",
         "of group-mins is data-dependent — re-validate on new distributions",
         "(re-run this script, or raise `block_margin`) before trusting the",
         "bf16 screen in production.  The exact f32 round-2 rescore limits but",

@@ -89,7 +89,9 @@ def main():
             # host re-rank share, re-measured on the same candidates
             t0 = time.perf_counter()
             if not eng.store_f32:
-                eng._rerank_f32(x_q, np.maximum(r.ids, 0), r.scores)
+                # r.ids unmodified: rerank_exact_host masks ids < 0 itself
+                # (clamping here would score -1 pad slots as id 0)
+                eng._rerank_f32(x_q, r.ids, r.scores)
             rr = time.perf_counter() - t0
             print(
                 f"[{name}] nprobe~{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f}"

@@ -79,6 +79,58 @@ def test_build_index_and_search_cli(tmp_path):
         assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
 
 
+def test_build_index_calibrated_margin(tmp_path):
+    """--calibrate_margin persists measured screen margins in the manifest
+    and search_cli serves at them (VERDICT r3 item 2 / ADVICE r3 item 2)."""
+    import json
+
+    from lira_tpu.pipelines.build_index import build_index
+    from lira_tpu.pipelines.search_cli import manifest_margin, run_search
+
+    bundle = synthetic_dataset(n_base=2000, n_query=25, dim=12, n_clusters=8, k_gt=10, seed=1)
+    write_dataset(bundle, str(tmp_path))
+    cfg = Config(
+        dataset="synthetic", k=5, n_bkt=8, n_epoch=2, batch_size=64,
+        data_path=str(tmp_path), calibrate_margin=True,
+    ).update()
+    out_dir = str(tmp_path / "artifacts")
+    build_index(cfg, bundle=bundle, out_dir=out_dir, use_cache=False)
+    with open(f"{out_dir}/{cfg.file_name}_manifest.json") as f:
+        manifest = json.load(f)
+    cal = manifest["calibrated_margins"]
+    assert "bfloat16" in cal and "int8" in cal
+    for d in ("bfloat16", "int8"):
+        assert cal[d]["margin"] >= 1
+        assert cal[d]["sel_rows"] in (32, 64, 128)
+        # at this tiny scale every ladder rung is measured or exhaustive
+        assert isinstance(cal[d]["miss_rates"], dict)
+
+    # manifest_margin: same granularity passes through; a different one
+    # rescales to constant row coverage
+    m32 = manifest_margin(manifest, "bfloat16", sel_rows=cal["bfloat16"]["sel_rows"])
+    assert m32 == cal["bfloat16"]["margin"]
+    rows_sel = cal["bfloat16"]["sel_rows"]
+    if rows_sel < 128:
+        m128 = manifest_margin(manifest, "bfloat16", sel_rows=128)
+        assert m128 == int(np.ceil(cal["bfloat16"]["margin"] * rows_sel / 128))
+    assert manifest_margin(manifest, "float32") is None  # not calibrated
+
+    # serving picks the manifest margin up (int8 pins the blocked impl, the
+    # only path that consumes block_margin) and stays exact vs the f32 sweep
+    rows = run_search(
+        out_dir, cfg.file_name, "synthetic", data_path=str(tmp_path),
+        k=5, t_min=0.1, t_max=0.5, t_step=0.2, bundle=bundle,
+    )
+    rows8 = run_search(
+        out_dir, cfg.file_name, "synthetic", data_path=str(tmp_path),
+        k=5, t_min=0.1, t_max=0.5, t_step=0.2, bundle=bundle,
+        scan_dtype="int8",
+    )
+    for a, b in zip(rows, rows8):
+        assert a["avg_cmp"] == b["avg_cmp"]
+        assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
+
+
 def test_compute_knn_cli(tmp_path):
     from lira_tpu.pipelines.compute_knn_cli import main as knn_main
     from lira_tpu.io.cache import load_knn_cache
