@@ -355,6 +355,12 @@ def _screen_rescore(
         )(*operands)
 
     groups_f32 = corpus_flat_f32.reshape(-1, sel_rows, d)
+    # int8 CAPACITY: the rescore table itself is the int8 screen table.
+    # x·q = Σ s_d·x8_d·q_d = x8·(q·s): fold the per-dim scale into the
+    # round-2 query once, cast the gathered int8 groups in-register, and
+    # accumulate f32 — same gather bytes as the screen (¼ of f32)
+    dequant_r2 = corpus_flat_f32.dtype == jnp.int8
+    q_r2 = q_perm * dim_scale[None, :] if dequant_r2 else q_perm
     bsq_g = bsq.reshape(-1, sel_rows)
     ids_g = tiles_ids.reshape(-1, sel_rows)
     # per-tile bucket map → per-group, with ALL-PAD groups masked to -1:
@@ -400,6 +406,8 @@ def _screen_rescore(
         def rbody(rargs):
             qs, sg, val = rargs
             vec = groups_f32[sg]  # (sub, kg, sel_rows, d) group-granular gather
+            if dequant_r2:
+                vec = vec.astype(jnp.float32)  # in-register; qs carries q·s
             dot = jnp.einsum(
                 "stgd,sd->stg", vec, qs,
                 precision="highest", preferred_element_type=jnp.float32,
@@ -433,7 +441,7 @@ def _screen_rescore(
     # chunk i's selection output with an optimization_barrier, so XLA's
     # scheduler cannot hoist every screen ahead of the consumers and
     # re-create the all-blocks gmin allocation the chunking exists to avoid
-    q_blocks = q_perm.reshape(n_blocks, qb, d)
+    q_blocks = q_r2.reshape(n_blocks, qb, d)  # round-2 query (q·s for int8 capacity)
     neg_parts, ids_parts = [], []
     prev = None
     for s in range(0, n_blocks, rows_per_call):
@@ -533,15 +541,19 @@ class BlockScanState:
     scan_dtype is bfloat16 (int8) — 1.0× / 1.5× / 1.25× the corpus.  All
     other state (norms, ids, bucket map) is O(n/128 · 128 · 8 B).
 
-    `store_f32=False` (bf16 only) is the CAPACITY mode: the bf16 table is
-    shared by both rounds — 0.5× the corpus in HBM, doubling rows-per-chip
-    vs all-f32 — and the round-2 rescore accumulates in f32 from bf16
-    inputs.  The final exact ordering comes from the caller's host-side
-    f32 re-rank over the fetched candidates (QueryEngine._rerank_f32, the
-    same contract as the per-query xla bf16 mode): the candidate SET can
-    in principle lose a true neighbor to bf16 rounding past the over-fetch
+    `store_f32=False` (bf16 or int8) is the CAPACITY mode: ONE approximate
+    table is shared by both rounds — bf16: 0.5× the corpus in HBM (2×
+    rows-per-chip vs all-f32); int8: 0.25× (4× rows-per-chip) — and the
+    round-2 rescore accumulates in f32 from the approximate inputs (int8
+    dequantizes by folding the per-dim scale into the query; row norms
+    stay EXACT f32, computed from the raw corpus before quantization).
+    The final exact ordering comes from the caller's host-side f32 re-rank
+    over the fetched candidates (QueryEngine._rerank_f32, the same contract
+    as the per-query xla bf16 mode): the candidate SET can in principle
+    lose a true neighbor to rounding/quantization past the over-fetch
     slack, which the dedicated slack absorbs in practice (the xla-path
-    +16-slot rule; measured zero misses, docs/bf16_screen.md).
+    +16-slot rule, doubled for int8; measured zero misses at bf16,
+    docs/bf16_screen.md).
     """
 
     def __init__(self, padded_host, padded_ids, tile_bucket, metric, scan_dtype,
@@ -554,21 +566,31 @@ class BlockScanState:
             padded_host = np.concatenate(
                 [padded_host, np.zeros((pad_rows, d), np.float32)]
             )
-        capacity = not store_f32 and scan_dtype == jnp.bfloat16
+        capacity = not store_f32 and scan_dtype in (jnp.bfloat16, jnp.int8)
+        dim_scale = None
         if capacity:
-            # upload the table in bf16 directly: device HBM peak is 0.5×
-            # the corpus end to end; exact row norms come from the f32 host
-            # array (no f32 device copy exists to reduce)
+            # upload the table in its approximate dtype directly: device HBM
+            # peak is 0.5× (bf16) / 0.25× (int8) the corpus end to end; exact
+            # row norms come from the f32 host array (no f32 device copy
+            # exists to reduce)
             from ..ops.distance import row_sqnorms
 
-            corpus_dev = jnp.asarray(padded_host.astype(jnp.bfloat16))
             norms_rows = row_sqnorms(padded_host)
+            if scan_dtype == jnp.int8:
+                dim_scale = (
+                    np.maximum(np.abs(padded_host).max(axis=0), 1e-30) / 127.0
+                ).astype(np.float32)
+                corpus_dev = jnp.asarray(np.clip(
+                    np.round(padded_host / dim_scale), -127, 127
+                ).astype(np.int8))
+            else:
+                corpus_dev = jnp.asarray(padded_host.astype(jnp.bfloat16))
         else:
             corpus_dev = jnp.asarray(padded_host, jnp.float32)
             norms_rows = None
         self._finish(
             corpus_dev, ids, tile_bucket, metric, scan_dtype, tile, n_super,
-            store_f32=store_f32, norms_rows=norms_rows,
+            store_f32=store_f32, norms_rows=norms_rows, dim_scale=dim_scale,
         )
 
     @classmethod
@@ -598,7 +620,19 @@ class BlockScanState:
         n, d = x_d.shape
         ids, n_super, _ = _align_ids(padded_ids, len(padded_ids), tile)
         rows_total = n_super * S_TILES * tile
-        capacity = not store_f32 and scan_dtype == jnp.bfloat16
+        capacity = not store_f32 and scan_dtype in (jnp.bfloat16, jnp.int8)
+        cap_int8 = capacity and scan_dtype == jnp.int8
+        dim_scale = None
+        if cap_int8:
+            # int8 capacity: per-dim scale from one streamed host max-abs
+            # pass; chunks are quantized on HOST and uploaded as int8 — ¼
+            # the upload bytes, and device HBM peak stays 0.25× the corpus
+            # through the whole build
+            amax = np.zeros(d, np.float32)
+            for s in range(0, n, chunk_rows):
+                np.maximum(amax, np.abs(x_d[s : s + chunk_rows]).max(axis=0),
+                           out=amax)
+            dim_scale = (np.maximum(amax, 1e-30) / 127.0).astype(np.float32)
 
         order = np.argsort(ids, kind="stable")
         first = np.searchsorted(ids[order], 0, side="left")
@@ -612,9 +646,12 @@ class BlockScanState:
             lambda o, pos, vals, src: o.at[pos].set(vals[src].astype(o.dtype), mode="drop"),
             donate_argnums=(0,),
         )
-        # capacity mode scatters straight into a bf16 table: device HBM peak
-        # stays 0.5× the corpus through the whole build
-        out = jnp.zeros((rows_total, d), jnp.bfloat16 if capacity else jnp.float32)
+        # capacity mode scatters straight into a bf16/int8 table: device HBM
+        # peak stays 0.5×/0.25× the corpus through the whole build
+        out_dtype = (
+            jnp.int8 if cap_int8 else jnp.bfloat16 if capacity else jnp.float32
+        )
+        out = jnp.zeros((rows_total, d), out_dtype)
         for s in range(0, n, chunk_rows):
             e = min(s + chunk_rows, n)
             lo = int(np.searchsorted(sorted_src, s, side="left"))
@@ -626,10 +663,17 @@ class BlockScanState:
             pos_p[: hi - lo] = sorted_pos[lo:hi]
             src_p = np.zeros(cap, np.int32)
             src_p[: hi - lo] = sorted_src[lo:hi] - s
+            if cap_int8:
+                vals = np.clip(
+                    np.round(x_d[s:e].astype(np.float32) / dim_scale),
+                    -127, 127,
+                ).astype(np.int8)
+            else:
+                vals = np.ascontiguousarray(x_d[s:e], np.float32)
             out = scatter(
                 out,
                 jnp.asarray(pos_p),
-                jnp.asarray(np.ascontiguousarray(x_d[s:e], np.float32)),
+                jnp.asarray(vals),
                 jnp.asarray(src_p),
             )
         norms_rows = None
@@ -642,17 +686,20 @@ class BlockScanState:
             norms_rows = np.zeros(rows_total, np.float32)
             norms_rows[sorted_pos] = nv[sorted_src]
         self._finish(out, ids, tile_bucket, metric, scan_dtype, tile, n_super,
-                     store_f32=store_f32, norms_rows=norms_rows)
+                     store_f32=store_f32, norms_rows=norms_rows,
+                     dim_scale=dim_scale)
         return self
 
     def _finish(self, corpus_dev, ids, tile_bucket, metric, scan_dtype,
-                tile, n_super, store_f32=True, norms_rows=None):
+                tile, n_super, store_f32=True, norms_rows=None,
+                dim_scale=None):
         """corpus_dev: the padded table on device — f32 normally, or already
-        bf16 from a capacity-mode builder (store_f32=False, so no f32 copy
-        ever exists on device).  norms_rows: optional (rows_total,) f32 host
-        exact row norms (capacity builders compute them host-side since no
-        f32 device copy is available to reduce)."""
-        self.store_f32 = store_f32 or scan_dtype != jnp.bfloat16
+        bf16/int8 from a capacity-mode builder (store_f32=False, so no f32
+        copy ever exists on device; int8 builders also pass their per-dim
+        `dim_scale`).  norms_rows: optional (rows_total,) f32 host exact row
+        norms (capacity builders compute them host-side since no f32 device
+        copy is available to reduce)."""
+        self.store_f32 = store_f32 or scan_dtype not in (jnp.bfloat16, jnp.int8)
         self.dim_scale = None
         # Pad rows become COPIES of their bucket's last real row: the screen
         # kernel computes row norms in-kernel (no per-row penalty operand —
@@ -690,16 +737,46 @@ class BlockScanState:
                 self.corpus_flat_f32 = corpus_dev
                 self.corpus_flat = corpus_dev.astype(jnp.bfloat16)
         elif scan_dtype == jnp.int8:
-            # symmetric per-dim quantization x ≈ s_d·x8, computed on device
-            # from the f32 copy already in HBM (¼ the f32 round-1 bytes,
-            # 2× the bf16 MXU rate; round 2 stays f32-exact)
-            self.corpus_flat_f32 = corpus_dev
-            quantize = jax.jit(
-                lambda x: (
-                    lambda s: (s, jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8))
-                )(jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-30) / 127.0)
-            )
-            self.dim_scale, self.corpus_flat = quantize(self.corpus_flat_f32)
+            if not self.store_f32:
+                # int8 CAPACITY: one int8 table serves both rounds — 0.25×
+                # the corpus in HBM.  Round 2 dequantizes by folding the
+                # per-dim scale into the query (x·q = Σ s_d·x8_d·q_d =
+                # x8·(q·s)); row norms stay exact f32 via norms_rows.  Final
+                # ordering is the engine's host f32 re-rank.
+                if corpus_dev.dtype == jnp.int8:
+                    if dim_scale is None:
+                        raise ValueError(
+                            "a pre-quantized int8 capacity table needs its "
+                            "per-dim dim_scale"
+                        )
+                    self.corpus_flat = corpus_dev
+                    self.dim_scale = jnp.asarray(dim_scale, jnp.float32)
+                else:  # f32 table handed in: norms first, then quantize
+                    if norms_rows is None and metric != "inner_product":
+                        norms_rows = _row_sqnorms_dev(corpus_dev)
+                    quantize = jax.jit(
+                        lambda x: (
+                            lambda s: (
+                                s,
+                                jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8),
+                            )
+                        )(jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-30) / 127.0)
+                    )
+                    self.dim_scale, self.corpus_flat = quantize(corpus_dev)
+                    del corpus_dev  # release the f32 table (0.25× from here)
+                self.corpus_flat_f32 = self.corpus_flat
+            else:
+                # symmetric per-dim quantization x ≈ s_d·x8, computed on
+                # device from the f32 copy already in HBM (¼ the f32
+                # round-1 bytes, 2× the bf16 MXU rate; round 2 stays
+                # f32-exact)
+                self.corpus_flat_f32 = corpus_dev
+                quantize = jax.jit(
+                    lambda x: (
+                        lambda s: (s, jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8))
+                    )(jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-30) / 127.0)
+                )
+                self.dim_scale, self.corpus_flat = quantize(self.corpus_flat_f32)
         else:
             self.corpus_flat_f32 = corpus_dev
             self.corpus_flat = corpus_dev
@@ -709,9 +786,20 @@ class BlockScanState:
             sq = jnp.where(self.tiles_ids >= 0, 0.0, _BIG).astype(jnp.float32)
         else:
             if norms_rows is not None:
-                norms = jnp.asarray(
-                    np.asarray(norms_rows, np.float32).reshape(n_super * S_TILES, tile)
+                norms = jnp.asarray(norms_rows, jnp.float32).reshape(
+                    n_super * S_TILES, tile
                 )
+            elif self.corpus_flat_f32.dtype == jnp.int8:
+                # int8 capacity without host norms: ‖x̂‖² = Σ (s_d·x8_d)² —
+                # the dequantized points' own norms (consistent with the
+                # dequantized round-2 dot; the host re-rank restores exact
+                # order either way)
+                ds = self.dim_scale
+                norms = jax.jit(
+                    lambda t, s: jnp.sum(
+                        jnp.square(t.astype(jnp.float32) * s[None, :]), axis=1
+                    )
+                )(self.corpus_flat_f32, ds).reshape(n_super * S_TILES, tile)
             else:
                 # norms from the corpus copy already in HBM — feeding the
                 # host array through a device op would upload the corpus a

@@ -223,14 +223,18 @@ class QueryEngine:
                 "use scan_impl='blocked'"
             )
         if not store_f32 and not (
-            self.scan_dtype == jnp.bfloat16 and scan_impl == "blocked"
+            self.scan_dtype in (jnp.bfloat16, jnp.int8) and scan_impl == "blocked"
         ):
             raise ValueError(
                 "store_f32=False (capacity mode) requires scan_impl='blocked' "
-                "with scan_dtype='bfloat16' — the bf16 table is the only "
-                "corpus copy, so both rounds must be able to read it"
+                "with scan_dtype='bfloat16' or 'int8' — the approximate table "
+                "is the only corpus copy, so both rounds must be able to read it"
             )
         self.store_f32 = store_f32
+        # capacity over-fetch slack for the host f32 re-rank: +16 distinct
+        # slots absorbs bf16 rank jitter (the per-query xla rule); int8
+        # quantization error is coarser, so double it
+        self.capacity_slack = 32 if self.scan_dtype == jnp.int8 else 16
         self.block_q = block_q
         self.block_margin = block_margin
         if block_sel_rows is None:
@@ -414,10 +418,10 @@ class QueryEngine:
             from .block_scan import blocked_search
 
             fetch_k = k * self.n_mul  # dedup slots; round 2 is f32-exact
-            # capacity mode: round 2 ranked from bf16 inputs — keep extra
-            # distinct candidates and restore exact order on host (the
-            # per-query xla bf16 rule: +16 slots absorbs bf16 rank jitter)
-            kk = k if self.store_f32 else fetch_k + 16
+            # capacity mode: round 2 ranked from approximate inputs — keep
+            # extra distinct candidates and restore exact order on host
+            # (+16 slots absorbs bf16 rank jitter, +32 int8 quantization)
+            kk = k if self.store_f32 else fetch_k + self.capacity_slack
             scores, ids, nprobe, ndis = blocked_search(
                 self._block_state, self, queries, threshold,
                 max(fetch_k, kk), kk,
@@ -458,7 +462,7 @@ class QueryEngine:
             from .block_scan import blocked_search_stream
 
             fetch_k = k * self.n_mul
-            kk = k if self.store_f32 else fetch_k + 16
+            kk = k if self.store_f32 else fetch_k + self.capacity_slack
             scores, ids, nprobe, ndis = blocked_search_stream(
                 self._block_state, self, queries, threshold,
                 max(fetch_k, kk), kk,

@@ -207,6 +207,49 @@ def exact_knn(
     return out_scores, out_ids
 
 
+def exact_knn_stream(
+    base: np.ndarray,
+    query: np.ndarray | jax.Array,
+    k: int,
+    metric: str = "L2",
+    base_chunk: int = 2_097_152,
+    verbose: bool = False,
+    **kw,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact kNN over a corpus too large for device HBM.
+
+    Streams `base` through `exact_knn` in host chunks (device holds one
+    chunk + its transpose at a time) and merges the per-chunk top-k on the
+    host.  exact_knn's ranking scores are chunk-independent (L2² minus the
+    per-query norm, or −IP), so the host merge is a plain top-k over
+    concatenated (score, global id) pairs.  Same contract as exact_knn;
+    the one-chip GT path for ≥50M-row corpora (f32 corpus 25.6 GB at 50M —
+    the whole-corpus upload of exact_knn cannot fit 16 GB HBM)."""
+    base = np.asarray(base)
+    n_b = base.shape[0]
+    q_dev = jnp.asarray(np.asarray(query, np.float32))  # upload queries once
+    best_s = best_i = None
+    for s in range(0, n_b, base_chunk):
+        e = min(s + base_chunk, n_b)
+        sc, ids = exact_knn(base[s:e], q_dev, min(k, e - s), metric=metric, **kw)
+        ids = ids.astype(np.int64) + s
+        if best_s is None:
+            best_s, best_i = sc, ids
+        else:
+            cs = np.concatenate([best_s, sc], axis=1)
+            ci = np.concatenate([best_i, ids], axis=1)
+            sel = np.argsort(cs, axis=1, kind="stable")[:, :k]
+            best_s = np.take_along_axis(cs, sel, axis=1)
+            best_i = np.take_along_axis(ci, sel, axis=1)
+        if verbose:
+            print(f"  kNN-stream: {e:,}/{n_b:,} rows", flush=True)
+    if best_s.shape[1] < k:  # n_b < k: pad to the exact_knn k-clamp contract
+        pad = k - best_s.shape[1]
+        best_s = np.pad(best_s, ((0, 0), (0, pad)), constant_values=np.inf)
+        best_i = np.pad(best_i, ((0, 0), (0, pad)), constant_values=-1)
+    return best_s.astype(np.float32), best_i.astype(np.int64)
+
+
 def self_knn(
     base: np.ndarray | jax.Array,
     k: int,

@@ -237,10 +237,12 @@ class ShardedQueryEngine:
         interpret: bool | None = None,
         sel_rows: int | None = None,  # round-2 selection granularity (Pallas
         # path; None → single-chip measured optimum: 32 bf16 / 64 f32)
-        store_f32: bool = True,  # False (bf16 only) = CAPACITY mode: one
-        # bf16 table per shard serves both rounds (0.5× the corpus across
-        # the mesh); exact order restored by a host f32 re-rank after the
-        # ICI merge (QueryEngine's store_f32 contract)
+        store_f32: bool = True,  # False (bf16 or int8) = CAPACITY mode:
+        # one approximate table per shard serves both rounds (bf16 0.5× /
+        # int8 0.25× the corpus across the mesh); exact order restored by a
+        # host f32 re-rank after the ICI merge (QueryEngine's store_f32
+        # contract; int8 dequantizes round 2 via the global per-dim scale
+        # folded into the query)
     ):
         """`scan_dtype='bfloat16'` screens round 1 in bf16 (margin absorbs the
         rounding, round 2 rescans in exact f32 — single-chip block_scan
@@ -264,12 +266,16 @@ class ShardedQueryEngine:
         if not (0 < sel_rows <= 128 and 128 % sel_rows == 0):
             raise ValueError(f"sel_rows={sel_rows}: must be a divisor of 128")
         self.sel_rows = sel_rows
-        if not store_f32 and self.scan_dtype != jnp.bfloat16:
+        if not store_f32 and self.scan_dtype not in (jnp.bfloat16, jnp.int8):
             raise ValueError(
                 "store_f32=False (capacity mode) requires scan_dtype="
-                "'bfloat16' — the bf16 table is the only corpus copy"
+                "'bfloat16' or 'int8' — the approximate table is the only "
+                "corpus copy"
             )
         self.store_f32 = store_f32
+        # capacity over-fetch slack for the post-merge host re-rank: 16
+        # absorbs bf16 rank jitter; int8 quantization error is coarser
+        self.capacity_slack = 32 if self.scan_dtype == jnp.int8 else 16
         self.prober = prober
         if local_impl == "auto":
             # pallas only where it runs compiled: off-TPU the interpreter is
@@ -372,6 +378,15 @@ class ShardedQueryEngine:
 
         shard = NamedSharding(mesh, P(axis))
         devs = list(mesh.devices.flat)
+        cap_int8 = not store_f32 and self.scan_dtype == jnp.int8
+        if cap_int8:
+            # int8 capacity: ONE GLOBAL per-dim scale (host O(n·d) pass) so
+            # every shard's dequantized round-2 scores are commensurable at
+            # the ICI merge; shards are quantized on HOST and uploaded as
+            # int8 (¼ the upload bytes, 0.25× per-shard HBM throughout)
+            cap_scale = (
+                np.maximum(np.abs(x_d).max(axis=0), 1e-30) / 127.0
+            ).astype(np.float32)
         vec_shards, id_shards, sq_shards, tpc_shards = [], [], [], []
         for d in range(n_dev):
             vec, idt = _device_tables(d)
@@ -390,7 +405,9 @@ class ShardedQueryEngine:
             # uploads bf16 directly: per-shard device HBM never exceeds 0.5×
             # the shard's f32 bytes — and the norms above are already exact
             # (computed from the f32 host table before the cast)
-            if not store_f32:
+            if cap_int8:
+                vec = np.clip(np.round(vec / cap_scale), -127, 127).astype(np.int8)
+            elif not store_f32:
                 vec = vec.astype(jnp.bfloat16)
             vec_shards.append(jax.device_put(vec[None], devs[d]))
             id_shards.append(jax.device_put(idt[None], devs[d]))
@@ -405,8 +422,10 @@ class ShardedQueryEngine:
             full[:2], shard, tpc_shards
         )
         if not store_f32:
-            self.corpus_r1 = self.corpus  # one bf16 table for both rounds
-            self.dim_scale = jnp.ones((dim,), jnp.float32)
+            self.corpus_r1 = self.corpus  # one bf16/int8 table for both rounds
+            self.dim_scale = (
+                jnp.asarray(cap_scale) if cap_int8 else jnp.ones((dim,), jnp.float32)
+            )
             self._x_d = x_d  # host reference for the exact final re-rank
         elif self.scan_dtype == jnp.bfloat16:
             # round-1 bf16 view cast on device (no second corpus upload);
@@ -628,7 +647,7 @@ class ShardedQueryEngine:
         fetch_k = k * self.n_mul
         # capacity mode keeps extra distinct candidates through the ICI
         # merge; exact order is restored on host (QueryEngine's +16 rule)
-        k_out = k if self.store_f32 else fetch_k + 16
+        k_out = k if self.store_f32 else fetch_k + self.capacity_slack
         fetch_k = max(fetch_k, k_out)
         kg = fetch_k + self.margin
         shard = NamedSharding(self.mesh, P(self.axis))

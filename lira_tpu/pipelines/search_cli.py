@@ -55,7 +55,7 @@ def run_search(
     bundle=None,
     stream_batch: int = 0,  # > 0: pipelined search_stream at this batch size
     scan_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'int8' screen
-    capacity: bool = False,  # bf16 only: one table for both rounds (0.5x HBM)
+    capacity: bool = False,  # bf16/int8: one table for both rounds (0.5x/0.25x HBM)
     block_margin: int | None = None,  # None: manifest calibration, else default
 ) -> list[dict]:
     art = load_index_artifacts(artifacts_dir, prefix)
@@ -141,9 +141,10 @@ def main(argv=None):
                    help="round-1 screen dtype (bfloat16/int8 halve/quarter "
                         "the screen's HBM bytes; round 2 is always f32-exact)")
     p.add_argument("--capacity", action="store_true",
-                   help="bf16 capacity mode: one bf16 table serves both "
-                        "rounds (0.5x corpus HBM); exact order restored by "
-                        "a host f32 re-rank (requires --scan_dtype bfloat16)")
+                   help="capacity mode: ONE approximate table serves both "
+                        "rounds (bf16 0.5x / int8 0.25x corpus HBM); exact "
+                        "order restored by a host f32 re-rank (requires "
+                        "--scan_dtype bfloat16 or int8)")
     p.add_argument("--block_margin", type=int, default=None,
                    help="selection margin in groups (default: the manifest's "
                         "calibrated margin if the index was built with "

@@ -73,6 +73,7 @@ def main():
     engines = [
         ("bf16", dict(scan_dtype="bfloat16")),
         ("bf16-cap", dict(scan_dtype="bfloat16", store_f32=False)),
+        ("int8-cap", dict(scan_dtype="int8", store_f32=False)),
     ]
     for name, kw in engines:
         eng = QueryEngine(x_d, layout, km.centroids, scaler, params,

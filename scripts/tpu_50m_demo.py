@@ -1,0 +1,224 @@
+"""≥50M-row single-chip serving demonstration (int8 capacity mode).
+
+BASELINE.json's config 5 is BIGANN-100M on a pod; the reference's own
+scale ceiling is 10M rows (reference index_batch.sh:27-36).  This runs a
+50M×128 hard-regime corpus END TO END on ONE 16 GB chip — possible only
+because the int8 capacity engine stores the corpus as ONE quantized table
+(0.25× the f32 bytes ≈ 6.6 GB at 50M with 3% redundancy) serving both
+scan rounds, with exact final ordering restored by a host f32 re-rank
+(engine/block_scan.py BlockScanState, store_f32=False + int8).
+
+Pipeline (subset-trained, the reference's large-scale recipe):
+  1. hard-regime corpus on host (cached; ~30 min first run on this vCPU)
+  2. ONE streamed pass over f32 chunks — each chunk is uploaded once and
+     reused for three things: exact-GT partial top-k for the query set,
+     K-Means assignment, and probing-MLP predicted-nprobe counts (for
+     redundancy selection)
+  3. K-Means + scaler + MLP trained on a 1% subset (LIRA_largescale.py's
+     regime: lr 1e-3, 40 epochs — scripts/train_scale_probe.py)
+  4. learning-based redundancy on the top-3% boundary minority
+  5. int8-capacity blocked engine; measured threshold sweep (recall vs
+     exact GT, nprobe, ndis, QPS) + pipelined stream throughput
+
+Usage: python scripts/tpu_50m_demo.py [n] [n_bkt] [n_q] [n_epoch]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import lira_tpu
+
+lira_tpu.enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from functools import partial  # noqa: E402
+
+from lira_tpu.engine.serve import QueryEngine  # noqa: E402
+from lira_tpu.io.datasets import (  # noqa: E402
+    HARD_REGIME,
+    check_sig_sidecar,
+    hard_regime_sig,
+    synthetic_dataset,
+    write_sig_sidecar,
+)
+from lira_tpu.labels.distr import knn_bucket_labels  # noqa: E402
+from lira_tpu.labels.scaler import scaled_centroid_distances  # noqa: E402
+from lira_tpu.models.probing_mlp import forward as mlp_forward  # noqa: E402
+from lira_tpu.models.train import infer, make_train_state, train_epoch  # noqa: E402
+from lira_tpu.ops.knn import exact_knn, self_knn  # noqa: E402
+from lira_tpu.partition.assign import build_bucket_layout  # noqa: E402
+from lira_tpu.partition.kmeans import kmeans_assign, kmeans_fit  # noqa: E402
+from lira_tpu.redundancy.assign import (  # noqa: E402
+    apply_redundancy_subset,
+    select_top_ratio,
+)
+
+CHUNK = 2_097_152  # f32 chunk = 1 GB on device
+
+
+@partial(jax.jit, static_argnames=("sigma",))
+def _chunk_assign_counts(chunk, centroids, mean, scale, params, sigma=0.5):
+    """One fused device program per streamed chunk: sqrt-L2 to centroids →
+    (argmin assignment, standardized features → MLP → predicted-nprobe
+    counts).  Only (m,) i32 + (m,) i32 leave the device."""
+    from lira_tpu.ops.distance import l2_to_centroids
+
+    d = l2_to_centroids(chunk, centroids)  # sqrt-L2, (m, n_bkt)
+    assign = jnp.argmin(d, axis=1).astype(jnp.int32)
+    feat = (d - mean) / scale
+    out = mlp_forward(params, feat, chunk)
+    counts = (out > sigma).sum(axis=1).astype(jnp.int32)
+    return assign, counts
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    n_bkt = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    n_epoch = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+    d, k = 128, 10
+    subset_frac, re_ratio = 0.01, 0.03
+    gen_sig = hard_regime_sig()
+    rng = np.random.default_rng(43)
+
+    # ---- 1. corpus (host, cached) ----
+    t0 = time.time()
+    cache = f"/tmp/syn50m_corpus_{n}_{d}_{n_q}.npz"
+    if os.path.exists(cache) and check_sig_sidecar(cache, gen_sig):
+        f = np.load(cache, mmap_mode=None)
+        x_d, x_q = f["x_d"], f["x_q"]
+        print(f"[gen] corpus from cache ({time.time() - t0:.1f}s)", flush=True)
+    else:
+        b = synthetic_dataset(
+            n_base=n, n_query=n_q, dim=d, k_gt=k, compute_gt=False,
+            name=f"syn{n // 1_000_000}m-hard", **HARD_REGIME,
+        )
+        x_d, x_q = b.base, b.query
+        print(f"[gen] {n:,}×{d} hard-regime corpus ({time.time() - t0:.1f}s)",
+              flush=True)
+        try:
+            np.savez(cache + ".tmp.npz", x_d=x_d, x_q=x_q)
+            os.replace(cache + ".tmp.npz", cache)
+            write_sig_sidecar(cache, gen_sig)
+        except OSError:
+            pass
+
+    # ---- 2. subset training (K-Means, scaler, probing MLP) ----
+    t0 = time.time()
+    n_sub = int(n * subset_frac)
+    sub_idx = np.sort(rng.choice(n, size=n_sub, replace=False))
+    subset = np.ascontiguousarray(x_d[sub_idx])
+    km = kmeans_fit(subset, n_bkt, niter=20, seed=43)
+    assign_sub = kmeans_assign(subset, km.centroids)
+    print(f"[train] subset {n_sub:,} K-Means({n_bkt}) ({time.time() - t0:.1f}s)",
+          flush=True)
+
+    t0 = time.time()
+    knn_sub = self_knn(subset, k)
+    d2b_sub = assign_sub.reshape(-1, 1).astype(np.int32)
+    labels = knn_bucket_labels(knn_sub, d2b_sub, n_bkt)
+    dist_sub, _, scaler = scaled_centroid_distances(subset, None, km.centroids)
+    state = make_train_state(43, n_bkt, d, lr=1e-3)
+    lab_dev = jnp.asarray(labels, jnp.float32)
+    sub_dev = jnp.asarray(subset, jnp.float32)
+    for ep in range(n_epoch):
+        state, loss = train_epoch(state, dist_sub, sub_dev, lab_dev, batch_size=512)
+        if ep % 10 == 0 or ep == n_epoch - 1:
+            print(f"[train] epoch {ep} loss {float(loss):.5f}", flush=True)
+    del dist_sub, lab_dev, sub_dev, subset
+    print(f"[train] self-kNN + {n_epoch} epochs ({time.time() - t0:.1f}s)",
+          flush=True)
+
+    # ---- 3. ONE streamed full pass: GT partials + assignment + counts ----
+    t0 = time.time()
+    mean = jnp.asarray(scaler.mean_)
+    scale = jnp.asarray(scaler.scale_)
+    cents = jnp.asarray(km.centroids, jnp.float32)
+    q_dev = jnp.asarray(x_q, jnp.float32)
+    assign = np.empty(n, np.int32)
+    counts = np.empty(n, np.int32)
+    best_s = best_i = None
+    for s in range(0, n, CHUNK):
+        e = min(s + CHUNK, n)
+        chunk_dev = jnp.asarray(x_d[s:e])
+        a_c, c_c = _chunk_assign_counts(chunk_dev, cents, mean, scale, state.params)
+        sc, ids = exact_knn(chunk_dev, q_dev, k)  # GT partial, device-resident
+        assign[s:e] = np.asarray(a_c)
+        counts[s:e] = np.asarray(c_c)
+        ids = ids.astype(np.int64) + s
+        if best_s is None:
+            best_s, best_i = sc, ids
+        else:
+            cs = np.concatenate([best_s, sc], axis=1)
+            ci = np.concatenate([best_i, ids], axis=1)
+            sel = np.argsort(cs, axis=1, kind="stable")[:, :k]
+            best_s = np.take_along_axis(cs, sel, axis=1)
+            best_i = np.take_along_axis(ci, sel, axis=1)
+        del chunk_dev
+        if (s // CHUNK) % 5 == 0:
+            print(f"[pass] {e:,}/{n:,} rows ({time.time() - t0:.1f}s)", flush=True)
+    gt = best_i
+    print(f"[pass] full streamed pass: GT + assignment + counts "
+          f"({time.time() - t0:.1f}s)", flush=True)
+
+    # ---- 4. learning-based redundancy on the top-3% boundary minority ----
+    t0 = time.time()
+    d2b = np.full((n, 2), -1, np.int32)
+    d2b[:, 0] = assign
+    selected = np.sort(select_top_ratio(counts, re_ratio))
+    sel_rows = np.ascontiguousarray(x_d[selected])
+    sel_dist, _, _ = scaled_centroid_distances(sel_rows, None, km.centroids,
+                                               scaler=scaler)
+    sel_predicts, sel_scores = infer(state, sel_dist, sel_rows)
+    d2b = apply_redundancy_subset(d2b, sel_scores, sel_predicts, selected)
+    del sel_rows, sel_dist
+    layout = build_bucket_layout(d2b, n_bkt)
+    print(f"[redundancy] {len(selected):,} boundary rows duplicated; table "
+          f"{layout.total:,} rows (×{layout.total / n:.3f}) "
+          f"({time.time() - t0:.1f}s)", flush=True)
+
+    # ---- 5. int8-capacity engine + measured sweep ----
+    t0 = time.time()
+    eng = QueryEngine(
+        x_d, layout, km.centroids, scaler, state.params,
+        n_mul=2, scan_impl="blocked", probe_cap=256,
+        scan_dtype="int8", store_f32=False,
+    )
+    int8_gb = layout.total * d / 2**30
+    print(f"[engine] int8-capacity engine built: table ≈{int8_gb:.1f} GB int8 "
+          f"(0.25× the {4 * int8_gb:.1f} GB f32 corpus) "
+          f"({time.time() - t0:.1f}s)", flush=True)
+
+    outputs = eng.probe(x_q[:512])
+    hits = (lambda ids: (ids[:, :, None] == gt[:, None, :]).any(axis=1).mean())
+    for target_nprobe in (8, 16, 32, 64):
+        thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
+        eng.search(x_q, thr, k)  # warmup at the measured shape
+        t0 = time.time()
+        r = eng.search(x_q, thr, k)
+        dt = time.time() - t0
+        print(f"[serve] nprobe~{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f} "
+              f"({100 * r.ndis.mean() / n:.3f}% corpus) "
+              f"recall@{k}={hits(r.ids):.4f} QPS={n_q / dt:.0f} "
+              f"({1e6 * dt / n_q:.0f} us/q)", flush=True)
+
+    # sustained stream throughput at a mid-sweep point, 4 batches in flight
+    big = np.tile(x_q, (max(1, 16384 // n_q), 1))
+    thr = float(np.quantile(outputs, 1.0 - 16 / n_bkt))
+    eng.search_stream(big[:4096], thr, k, batch_size=4096)
+    t0 = time.time()
+    r = eng.search_stream(big, thr, k, batch_size=4096)
+    dt = time.time() - t0
+    print(f"[serve-stream] batch={len(big)} ndis={r.ndis.mean():.0f} "
+          f"QPS={len(big) / dt:.0f} ({1e6 * dt / len(big):.0f} us/q sustained)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

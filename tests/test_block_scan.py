@@ -292,6 +292,70 @@ def test_capacity_mode_matches_f32(rng):
     np.testing.assert_array_equal(r_seq.ids, r_str.ids)
 
 
+@pytest.mark.parametrize("metric", ["L2", "inner_product"])
+def test_capacity_int8_matches_f32(rng, metric):
+    """store_f32=False with scan_dtype='int8': ONE int8 table serves both
+    rounds (0.25× corpus HBM) — round 2 dequantizes via the per-dim scale
+    folded into the query, exact row norms come from the raw f32 corpus,
+    and the host f32 re-rank restores exact order.  On this tiny corpus the
+    default margin + slack are exhaustive, so neighbor sets AND exact
+    scores must match the all-f32 engine."""
+    from lira_tpu.engine.serve import QueryEngine
+    import jax.numpy as jnp
+
+    x_q, e_ref, e_cap = _build(rng, metric, scan_dtype="int8", store_f32=False)
+    st = e_cap._block_state
+    assert st.corpus_flat_f32.dtype == jnp.int8  # no f32/bf16 copy anywhere
+    assert st.corpus_flat is st.corpus_flat_f32
+    assert st.rescore_arg is None  # one program parameter, not two
+    assert st.dim_scale is not None
+    for thr in (0.0, 0.5):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_cap.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+        # exact host re-rank: scores of valid slots agree with the f32 engine
+        valid = r2.ids >= 0
+        np.testing.assert_allclose(
+            np.where(valid, r2.scores, 0), np.where(valid, r1.scores, 0),
+            rtol=1e-5, atol=1e-4,
+        )
+    # stream path shares the over-fetch + re-rank
+    x_many = rng.normal(size=(100, x_q.shape[1])).astype(np.float32)
+    r_seq = e_cap.search(x_many, 0.4, k=5)
+    r_str = e_cap.search_stream(x_many, 0.4, k=5, batch_size=32)
+    np.testing.assert_array_equal(r_seq.ids, r_str.ids)
+
+
+def test_capacity_int8_from_host_table(rng):
+    """The padded-host-table constructor's int8 capacity path (host-side
+    quantization + exact host norms) matches from_corpus bit-for-bit."""
+    import jax.numpy as jnp
+    from lira_tpu.engine.block_scan import BlockScanState
+    from lira_tpu.partition.assign import build_bucket_layout
+
+    n, dim, n_bkt = 900, 16, 5
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    d2b = np.full((n, 1), -1, np.int32)
+    d2b[:, 0] = rng.integers(0, n_bkt, size=n)
+    layout = build_bucket_layout(d2b, n_bkt, tile=128)
+    tile_bucket = np.repeat(
+        np.arange(n_bkt, dtype=np.int32), layout.padded_sizes // 128
+    )
+    padded = layout.gather_vectors(x_d)
+    st_a = BlockScanState(padded, layout.padded_ids, tile_bucket, "L2",
+                          jnp.int8, store_f32=False)
+    st_b = BlockScanState.from_corpus(x_d, layout.padded_ids, tile_bucket,
+                                      "L2", jnp.int8, store_f32=False,
+                                      chunk_rows=257)
+    assert st_a.corpus_flat_f32.dtype == jnp.int8
+    assert st_b.corpus_flat_f32.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(st_a.dim_scale), np.asarray(st_b.dim_scale))
+    np.testing.assert_array_equal(np.asarray(st_a.corpus_flat), np.asarray(st_b.corpus_flat))
+    np.testing.assert_allclose(np.asarray(st_a.bsq), np.asarray(st_b.bsq), rtol=1e-6)
+
+
 @pytest.mark.parametrize("metric,scan_dtype", [
     ("L2", "float32"), ("L2", "bfloat16"), ("L2", "int8"),
     ("inner_product", "float32"), ("inner_product", "int8"),

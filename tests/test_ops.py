@@ -122,3 +122,30 @@ def test_exact_knn_device_resident_query():
     _, ids_np = exact_knn(x, q, 5)
     _, ids_dev = exact_knn(x, jnp.asarray(q), 5)
     np.testing.assert_array_equal(ids_np, ids_dev)
+
+
+def test_exact_knn_stream_matches_whole():
+    """Chunk-streamed exact kNN (the >=50M one-chip GT path) merges per-chunk
+    top-k into the same neighbors and scores as the whole-corpus pass,
+    including uneven final chunks and chunk boundaries splitting neighbors."""
+    from lira_tpu.ops.knn import exact_knn, exact_knn_stream
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1000, 12)).astype(np.float32)
+    q = rng.normal(size=(17, 12)).astype(np.float32)
+    s_ref, i_ref = exact_knn(x, q, 7)
+    for chunk in (64, 333, 1000, 4096):
+        s_st, i_st = exact_knn_stream(x, q, 7, base_chunk=chunk)
+        for i in range(len(q)):
+            assert set(i_st[i]) == set(i_ref[i]), (chunk, i)
+        np.testing.assert_allclose(np.sort(s_st, 1), np.sort(s_ref, 1), rtol=1e-5, atol=1e-5)
+
+    # inner product metric
+    s_ref, i_ref = exact_knn(x, q, 5, metric="inner_product")
+    s_st, i_st = exact_knn_stream(x, q, 5, metric="inner_product", base_chunk=256)
+    for i in range(len(q)):
+        assert set(i_st[i]) == set(i_ref[i]), i
+
+    # n < k pads with -1
+    s_st, i_st = exact_knn_stream(x[:3], q, 5, base_chunk=2)
+    assert (i_st[:, 3:] == -1).all() and np.isinf(s_st[:, 3:]).all()

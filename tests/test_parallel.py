@@ -340,6 +340,38 @@ def test_sharded_capacity_mode_matches_f32(impl):
 
 
 @needs_8
+def test_sharded_capacity_int8_matches_f32():
+    """store_f32=False + int8 on the mesh: ONE int8 table per shard (0.25×
+    corpus HBM across the mesh, global per-dim scale so shard scores merge
+    commensurably over ICI); exact order restored by the host f32 re-rank
+    after the merge — sets and exact scores must match the f32 engine."""
+    import jax.numpy as jnp
+
+    x_d, x_q, layout, km, scaler, params = _small_index(seed=17)
+    mesh = make_mesh(8)
+    f32 = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                             local_impl="pallas")
+    cap = ShardedQueryEngine(x_d, layout, km.centroids, scaler, params, mesh,
+                             local_impl="pallas", scan_dtype="int8",
+                             store_f32=False)
+    assert cap.corpus.dtype == jnp.int8 and cap.corpus_r1 is cap.corpus
+    for thr in (0.0, 0.6):
+        r1 = f32.search(x_q, thr, k=5)
+        r2 = cap.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), (thr, i)
+        valid = r2.ids >= 0
+        np.testing.assert_allclose(
+            np.where(valid, r2.scores, 0), np.where(valid, r1.scores, 0),
+            rtol=1e-5, atol=1e-4,
+        )
+    r_seq = cap.search(x_q, 0.5, k=5)
+    r_str = cap.search_stream(x_q, 0.5, k=5, batch_size=8)
+    np.testing.assert_array_equal(r_seq.ids, r_str.ids)
+
+
+@needs_8
 def test_sharded_int8_rejects_gather_impl():
     x_d, x_q, layout, km, scaler, params = _small_index(seed=13)
     mesh = make_mesh(8)

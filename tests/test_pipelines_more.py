@@ -68,15 +68,17 @@ def test_build_index_and_search_cli(tmp_path):
         assert a["avg_cmp"] == b["avg_cmp"]
         assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
 
-    # capacity mode through the CLI surface (bf16-only table + host re-rank)
-    rows_cap = run_search(
-        out_dir, cfg.file_name, "synthetic", data_path=str(tmp_path),
-        k=5, t_min=0.1, t_max=0.5, t_step=0.2, bundle=bundle,
-        scan_dtype="bfloat16", capacity=True,
-    )
-    for a, b in zip(rows, rows_cap):
-        assert a["avg_cmp"] == b["avg_cmp"]
-        assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
+    # capacity mode through the CLI surface (one-table + host re-rank):
+    # bf16 (0.5x corpus HBM) and int8 (0.25x)
+    for cap_dtype in ("bfloat16", "int8"):
+        rows_cap = run_search(
+            out_dir, cfg.file_name, "synthetic", data_path=str(tmp_path),
+            k=5, t_min=0.1, t_max=0.5, t_step=0.2, bundle=bundle,
+            scan_dtype=cap_dtype, capacity=True,
+        )
+        for a, b in zip(rows, rows_cap):
+            assert a["avg_cmp"] == b["avg_cmp"]
+            assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
 
 
 def test_build_index_calibrated_margin(tmp_path):
