@@ -325,13 +325,12 @@ def knn_fallback():
     penalty = jnp.where(jnp.arange(n_pad) < n, 0.0, 1e30).astype(jnp.float32)
     bsq = (jnp.sum(base * base, axis=1) + penalty).astype(jnp.float32)
     bsq_g = bsq.reshape(n_pad // 128, 128)
-    tiles = base.reshape(n_pad // 128, 128, d)
     interp = jax.default_backend() != "tpu"
 
     def one_tile(start):
         qs = jax.lax.dynamic_slice_in_dim(base, start, q_tile)
         gsel = _round1_select(qs, base, bsq_g, "L2", kg, precision="default", interpret=interp)
-        return _round2_rescan(qs, gsel, tiles, bsq_g, "L2", k + 1, sub=512)
+        return _round2_rescan(qs, gsel, base, bsq_g, "L2", k + 1, sub=512)
 
     jax.block_until_ready(one_tile(0))
     t0 = time.perf_counter()

@@ -128,13 +128,21 @@ def _round1_select(
 def _round2_rescan(
     q: jax.Array,  # (Q, d)
     gsel: jax.Array,  # (Q, kg) tile ids
-    tiles: jax.Array,  # (n_tiles, 128, d)
+    base_p: jax.Array,  # (n_pad, d) padded corpus, n_pad a multiple of 128
     tiles_sq: jax.Array,  # (n_tiles, 128)
     metric: str,
     k: int,
     sub: int = 1024,
 ):
-    """Exact top-k among the selected tiles' members (full f32)."""
+    """Exact top-k among the selected tiles' members (full f32).
+
+    Takes the FLAT padded corpus and reshapes to (n_tiles, 128, d) inside
+    the traced program — a contiguous reshape XLA aliases for free.  An
+    eager `base_p.reshape(...)` at the call site materializes a SECOND
+    full corpus copy in HBM (3.84 GB at 1M×960: the allocation that,
+    stacked on the GT pass's buffers, pushed the GIST pipeline's self-kNN
+    into RESOURCE_EXHAUSTED — logs/gist_dim_bench_r4.log)."""
+    tiles = base_p.reshape(-1, 128, base_p.shape[1])
     Q, kg = gsel.shape
 
     def body(args):
@@ -263,7 +271,6 @@ def knn_fused(
             jnp.float32
         ) + penalty
     bsq_g = bsq.reshape(n_pad // 128, 128)
-    tiles = base_p.reshape(n_pad // 128, 128, d)
 
     kg = min(k + margin, n_pad // 128)
     query = jnp.asarray(query, jnp.float32)
@@ -320,7 +327,7 @@ def knn_fused(
                 q_block=q_block, c_block=c_block, interpret=interpret,
             )
         sc, ids = _round2_rescan(
-            qt, gsel, tiles, bsq_g, metric, min(k, n),
+            qt, gsel, base_p, bsq_g, metric, min(k, n),
             sub=_r2_sub(gsel.shape[1], d, q_tile),
         )
         if bound_queue:

@@ -55,11 +55,13 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 960
     q_tile = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+    precision = sys.argv[4] if len(sys.argv) > 4 else "default"
     k = 11
     kg = 19
 
     blocks = _r1_blocks(d)
-    print(f"n={n} d={d} q_tile={q_tile} blocks={blocks}", flush=True)
+    print(f"n={n} d={d} q_tile={q_tile} precision={precision} blocks={blocks}",
+          flush=True)
     q_block, c_block = blocks
     n_pad = ((n + c_block - 1) // c_block) * c_block
 
@@ -74,15 +76,14 @@ def main():
     penalty = jnp.where(jnp.arange(n_pad) < n, 0.0, 1e30).astype(jnp.float32)
     bsq = (jnp.sum(base_p * base_p, axis=1) + penalty).astype(jnp.float32)
     bsq_g = bsq.reshape(n_pad // 128, 128)
-    tiles = base_p.reshape(n_pad // 128, 128, d)
-    step("block tiles/bsq", lambda: jax.block_until_ready((tiles, bsq_g)))
+    step("block bsq", lambda: jax.block_until_ready(bsq_g))
 
     qt = base_p[:q_tile]
     step("sanity tiny op pre-r1",
          lambda: jnp.arange(16.0).sum().block_until_ready())
 
     gsel = step("dispatch r1", lambda: _round1_select(
-        qt, base_p, bsq_g, "L2", kg, precision="default",
+        qt, base_p, bsq_g, "L2", kg, precision=precision,
         q_block=q_block, c_block=c_block, interpret=False))
     if gsel is None:
         return
@@ -105,7 +106,7 @@ def main():
     # round 2
     sub = _r2_sub(kg, d, q_tile)
     out = step("dispatch r2", lambda: _round2_rescan(
-        qt, gsel, tiles, bsq_g, "L2", k, sub=sub))
+        qt, gsel, base_p, bsq_g, "L2", k, sub=sub))
     if out is None:
         return
     sc, ids = out
