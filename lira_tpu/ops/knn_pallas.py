@@ -169,6 +169,12 @@ def _round2_rescan(
     return scores.reshape(Q, k), ids.reshape(Q, k)
 
 
+# corpora above this f32 byte size sync each q-tile's results to host
+# (see the bound_queue comment in knn_fused); module-level so tests can
+# force the host-assembly path at unit scale
+_QUEUE_BOUND_BYTES = 1 << 30
+
+
 def _auto_interpret() -> bool:
     """Pallas compiles natively on TPU; elsewhere run the interpreter."""
     return jax.default_backend() != "tpu"
@@ -302,9 +308,16 @@ def knn_fused(
     # screen output + round-2 gathers, ~0.5 GB/tile at 1M×960) ahead of
     # execution, and ~100 queued tiles next to the corpus copies exhausted
     # HBM at GIST dims (logs/gist_dim_bench4.log RESOURCE_EXHAUSTED).
-    # Syncing once per tile costs one tunnel round trip (~30 ms) against
-    # seconds of per-tile compute at these sizes.
-    bound_queue = n_pad * d * 4 > (1 << 30)
+    # The sync must be a HOST FETCH of the tile's (small) results, not
+    # block_until_ready: on the axon remote backend block_until_ready
+    # returns without waiting (measured: logs/gist_probe_r4.log — r1
+    # "blocked" in 0.00 s, the first fetch then waited out the 522 s
+    # compile), so an r3 attempt to bound the queue with it bounded
+    # nothing and 123 queued tiles OOMed again
+    # (logs/gist_dim_bench_r4b.log).  Fetching ~720 KB/tile costs ~20 ms
+    # against seconds of per-tile compute at these sizes, and host-side
+    # assembly also skips the final device concatenate.
+    bound_queue = n_pad * d * 4 > _QUEUE_BOUND_BYTES
 
     out_s, out_i = [], []
     for s in range(0, nq, q_tile):
@@ -331,11 +344,17 @@ def knn_fused(
             sub=_r2_sub(gsel.shape[1], d, q_tile),
         )
         if bound_queue:
-            ids.block_until_ready()
-        out_s.append(sc[: e - s])
-        out_i.append(ids[: e - s])
-    scores = np.asarray(jnp.concatenate(out_s))
-    ids = np.asarray(jnp.concatenate(out_i))
+            out_s.append(np.asarray(sc[: e - s]))  # true sync: d2h fetch
+            out_i.append(np.asarray(ids[: e - s]))
+        else:
+            out_s.append(sc[: e - s])
+            out_i.append(ids[: e - s])
+    if bound_queue:
+        scores = np.concatenate(out_s)
+        ids = np.concatenate(out_i)
+    else:
+        scores = np.asarray(jnp.concatenate(out_s))
+        ids = np.asarray(jnp.concatenate(out_i))
     ids = np.where(ids < n, ids, -1)
     return scores, ids
 

@@ -125,3 +125,20 @@ def test_knn_fused_gist_dim(rng):
     d = cdist(query, base, metric="sqeuclidean")
     expected = np.argsort(d, axis=1, kind="stable")[:, :5]
     np.testing.assert_array_equal(ids, expected)
+
+
+def test_knn_fused_bound_queue_path(monkeypatch):
+    """The large-corpus dispatch-queue bound fetches each q-tile's results
+    to host (a TRUE sync — block_until_ready does not wait on the axon
+    remote backend) and assembles on host.  Forcing the path at unit scale
+    must be bit-identical to the device-assembly path."""
+    from lira_tpu.ops import knn_pallas
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(700, 16)).astype(np.float32)
+    q = rng.normal(size=(40, 16)).astype(np.float32)
+    s_ref, i_ref = knn_pallas.knn_fused(base, q, 5, q_tile=512)
+    monkeypatch.setattr(knn_pallas, "_QUEUE_BOUND_BYTES", 1)
+    s_b, i_b = knn_pallas.knn_fused(base, q, 5, q_tile=512)
+    np.testing.assert_array_equal(i_ref, i_b)
+    np.testing.assert_allclose(s_ref, s_b, rtol=0, atol=0)
