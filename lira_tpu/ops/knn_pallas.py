@@ -211,6 +211,39 @@ def _r1_blocks(d: int) -> tuple[int, int] | None:
     return None  # d too wide for the smallest legal blocks → XLA path
 
 
+@partial(jax.jit, static_argnames=("n_pad", "need_l2"))
+def _pad_and_norms(base: jax.Array, n_pad: int, need_l2: bool):
+    """Fused pad + row-norms for a device-resident corpus.
+
+    One compiled program so XLA fuses the zeros/scatter/square chain —
+    device peak is base + base_p, not the 3 corpus-sized transients the
+    eager `zeros().at[].set()` + `sum(base*base)` sequence staged (which
+    OOMed the 1M×960 GIST run before its first kernel,
+    logs/gist_dim_bench_r4d.log).
+    """
+    n, d = base.shape
+    base = base.astype(jnp.float32)
+    if n_pad != n:
+        base_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(base)
+    else:
+        base_p = base
+    penalty = jnp.where(jnp.arange(n_pad) < n, 0.0, 1e30).astype(jnp.float32)
+    if need_l2:
+        bsq = jnp.pad(jnp.sum(base * base, axis=1), (0, n_pad - n)) + penalty
+    else:
+        bsq = penalty
+    return base_p, bsq.reshape(n_pad // 128, 128)
+
+
+@jax.jit
+def _quantize_corpus(base_p: jax.Array):
+    """Symmetric per-dim int8 quantization as ONE fused program (the eager
+    abs/round/clip chain materialized corpus-sized f32 temporaries)."""
+    dim_scale = jnp.maximum(jnp.max(jnp.abs(base_p), axis=0), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(base_p / dim_scale), -127, 127).astype(jnp.int8)
+    return dim_scale, q
+
+
 def _r2_sub(kg: int, d: int, q_tile: int) -> int:
     """Round-2 sub-batch: the (sub, kg, 128, d) f32 gather stage must stay
     within a ~256 MB HBM budget (at d=960 the fixed sub=512 staged ~4 GB
@@ -251,11 +284,8 @@ def knn_fused(
     if margin is None:
         margin = 16 if precision == "int8" else 8
     self_mode = query is base  # self-kNN: one upload, queries slice base
-    owns_base = not isinstance(base, jax.Array)  # we created the device copy
-    base = jnp.asarray(base, jnp.float32)
-    if self_mode:
-        query = base
-    n, d = base.shape
+    host_base = not isinstance(base, jax.Array)
+    n, d = np.shape(base)
     blocks = _r1_blocks(d)  # VMEM-budgeted round-1 blocks
     if blocks is None:
         # d too wide for the smallest legal Pallas blocks (> ~1.6k dims):
@@ -265,41 +295,50 @@ def knn_fused(
         return exact_knn(base, query, k, metric=metric)
     q_block, c_block = blocks
     n_pad = ((n + c_block - 1) // c_block) * c_block
-    if n_pad != n:
-        base_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(base)
+    need_l2 = metric != "inner_product"
+
+    if host_base:
+        # Host-side pad + norms: the device only ever holds the one padded
+        # table.  Padding on device staged base + zeros + the scatter
+        # result (3 corpus copies ≈ 11.5 GB at 1M×960) and OOMed the chip
+        # before the first kernel ran; the error then surfaced at the
+        # first d2h fetch (logs/gist_dim_bench_r4d.log vs the pre-padded
+        # probes logs/gist_probe_r4*.log, which ran clean).
+        base_np = np.ascontiguousarray(base, dtype=np.float32)
+        bsq_np = np.full(n_pad, 1e30, np.float32)
+        if need_l2:
+            bsq_np[:n] = np.einsum("ij,ij->i", base_np, base_np)
+        else:
+            bsq_np[:n] = 0.0
+        if n_pad != n:
+            pad_np = np.zeros((n_pad, d), np.float32)
+            pad_np[:n] = base_np
+            base_p = jnp.asarray(pad_np)
+            del pad_np
+        else:
+            base_p = jnp.asarray(base_np)
+        bsq_g = jnp.asarray(bsq_np.reshape(n_pad // 128, 128))
     else:
-        base_p = base
-    penalty = jnp.where(jnp.arange(n_pad) < n, 0.0, 1e30).astype(jnp.float32)
-    if metric == "inner_product":
-        bsq = penalty
-    else:
-        bsq = jnp.concatenate([jnp.sum(base * base, axis=1), jnp.zeros(n_pad - n)]).astype(
-            jnp.float32
-        ) + penalty
-    bsq_g = bsq.reshape(n_pad // 128, 128)
+        base_p, bsq_g = _pad_and_norms(
+            jnp.asarray(base, jnp.float32), n_pad=n_pad, need_l2=need_l2
+        )
 
     kg = min(k + margin, n_pad // 128)
-    query = jnp.asarray(query, jnp.float32)
-    nq = query.shape[0]
+    if self_mode:
+        # queries are slices of the padded table; nq stays the real n
+        query, nq = base_p, n
+    else:
+        query = jnp.asarray(query, jnp.float32)
+        nq = query.shape[0]
+    base = None  # the padded table carries the data from here on
     q_tile = min(q_tile, max(512, nq))
     q_tile = ((q_tile + 511) // 512) * 512
-    if owns_base and base_p is not base:
-        # the padded table now carries the data: free the unpadded upload
-        # before the sweep — at 1M×960 it is 3.84 GB of dead HBM that
-        # pushed the rig's d2h fetch into RESOURCE_EXHAUSTED
-        # (logs/fetch_iso2.log; STATUS "GIST-dim fetch failure").  nq was
-        # taken from the original query above, so self-mode slices of
-        # base_p stay within the real [:n] rows.
-        if self_mode:
-            query = base_p
-        base = None
 
     if precision == "int8":
         # one-time symmetric per-dim quantization of the sweep corpus
-        # (round 2 rescans the f32 `tiles`); scale folded into each query
+        # (round 2 rescans the f32 `base_p`); scale folded into each query
         # tile below with one per-tile scalar t — see _groupmin_kernel
-        dim_scale = jnp.maximum(jnp.max(jnp.abs(base_p), axis=0), 1e-30) / 127.0
-        base_r1 = jnp.clip(jnp.round(base_p / dim_scale), -127, 127).astype(jnp.int8)
+        dim_scale, base_r1 = _quantize_corpus(base_p)
     else:
         base_r1 = base_p
 
