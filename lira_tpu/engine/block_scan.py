@@ -914,6 +914,28 @@ def _round2_sub(kg: int, sel_rows: int, d: int, qb: int) -> int:
     return min(sub, qb)
 
 
+def _screen_qb_cap(d: int, scan_dtype) -> int:
+    """Largest union-block qb whose screen step fits scoped VMEM at dim d.
+
+    Same empirical budget family as ops.knn_pallas._r1_blocks (fit to
+    compile-probes of the group-min kernels against the v5e Mosaic
+    compiler at d=960/128), restated for _union_groupmin_kernel's shapes:
+    double-buffered operands 2·b·d·(qb + S·128), ~12·qb·S·128 bytes of
+    f32 dot/score temporaries, plus the in-kernel f32 chunk cast for the
+    norms reduce (4·S·128·d).  Budget 15.0 MiB — half a MiB under the
+    knn kernel's measured 15.5 ceiling, since this kernel also builds the
+    per-group min list.  At the production d=128 geometry every scan
+    dtype still resolves to the measured-optimal qb=1024; at d=960 bf16
+    resolves to 256 (512 sits within 1% of the raw ceiling — too close)."""
+    budget = int(15.0 * 1024 * 1024)
+    s128 = S_TILES * 128
+    b = jnp.dtype(scan_dtype).itemsize
+    avail = budget - 2 * b * d * s128 - 4 * s128 * d
+    cap = avail // (2 * b * d + 12 * s128)
+    cap = 1 << max(int(cap).bit_length() - 1, 3)  # pow2 floor, ≥ 8
+    return cap
+
+
 def _probe_batch(
     state: BlockScanState,
     engine,
@@ -938,7 +960,7 @@ def _probe_batch(
     serve stale vectors if a caller mutates a reused query buffer in place."""
     queries = np.asarray(queries, np.float32)
     B, d = queries.shape
-    qb = max(8, min(block_q, _pow2ceil(B)))
+    qb = max(8, min(block_q, _pow2ceil(B), _screen_qb_cap(d, state.scan_dtype)))
     B_pad = -(-B // qb) * qb
     cache = getattr(state, "_q_cache", None)
     if (
