@@ -206,8 +206,15 @@ def run_smallscale(
         with stage_timer("baseline scan + sweep (part 0)", fw):
             corpus = BucketCorpus.build(x_d, layout)
             found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            # the padded bucket corpus is device-resident and corpus-sized
+            # (~4 GB at 1M×960): release it before redundancy inference,
+            # which runs with the 8 GB of training features still live
+            # (logs/gist_dim_bench_r4e.log RESOURCE_EXHAUSTED)
+            del corpus
             hit = gt_hit_tensor(found, knn_query, gt_buckets)
+            del found
             rows0 = threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+            del hit
         sweep_parts.append(rows0)
 
         selected = select_top_ratio(counts, cfg.redundancy_ratio)
@@ -217,6 +224,10 @@ def run_smallscale(
             sel_predicts, sel_scores = infer(
                 state, train_dist[sel_idx], train_vec[sel_idx], sigma=cfg.sigma
             )
+            # last use of the training features — when device-resident
+            # (superbatches) they are ~8 GB at 1M×960; free them before the
+            # part-1 corpus build and the serving engine's tables
+            del train_dist, train_vec
             data_2_bkt = apply_redundancy_subset(data_2_bkt, sel_scores, sel_predicts, sel_idx)
             layout = build_bucket_layout(data_2_bkt, n_bkt)
             gt_buckets = gt_bucket_map(knn_query, data_2_bkt)
@@ -224,8 +235,11 @@ def run_smallscale(
         with stage_timer("redundant scan + sweep (part 1)", fw):
             corpus = BucketCorpus.build(x_d, layout)
             found = bucket_topk(x_q, corpus, cfg.k, metric=cfg.dis_metric)
+            del corpus  # as in part 0 — also frees HBM for the serving engine below
             hit = gt_hit_tensor(found, knn_query, gt_buckets)
+            del found
             rows1 = threshold_sweep(outputs, gt_buckets, hit, layout.sizes, cfg.k, thresholds)
+            del hit
         sweep_parts.append(rows1)
     else:
         with stage_timer("scan + sweep", fw):
