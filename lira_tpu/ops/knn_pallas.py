@@ -173,6 +173,11 @@ def _round2_rescan(
 # (see the bound_queue comment in knn_fused); module-level so tests can
 # force the host-assembly path at unit scale
 _QUEUE_BOUND_BYTES = 1 << 30
+# how many q-tiles may be queued/in-flight ahead of the trailing host fetch
+# when the bound is active: W tiles × ~0.5 GB of intermediates at 1M×960
+# stays comfortably inside the post-corpus HBM headroom while overlapping
+# the (tunneled) per-tile d2h fetch with the next tiles' compute
+_QUEUE_WINDOW = 2
 
 
 def _auto_interpret() -> bool:
@@ -355,10 +360,22 @@ def knn_fused(
     # nothing and 123 queued tiles OOMed again
     # (logs/gist_dim_bench_r4b.log).  Fetching ~720 KB/tile costs ~20 ms
     # against seconds of per-tile compute at these sizes, and host-side
-    # assembly also skips the final device concatenate.
+    # assembly also skips the final device concatenate.  The fetch runs a
+    # _QUEUE_WINDOW tiles BEHIND dispatch: a fully synchronous fetch made
+    # the device idle through every tunnel round trip (1M×960 warm 266 s,
+    # logs/gist_selfknn_time.log), while a small window keeps ≤ W tiles of
+    # queued intermediates live and overlaps tile i's fetch with tile
+    # i+1..i+W's compute.
     bound_queue = n_pad * d * 4 > _QUEUE_BOUND_BYTES
 
     out_s, out_i = [], []
+    pending = []  # (sc_dev, ids_dev, rows) not yet fetched, oldest first
+
+    def _drain_oldest():
+        sc_d, ids_d, rows = pending.pop(0)
+        out_s.append(np.asarray(sc_d[:rows]))  # true sync: d2h fetch
+        out_i.append(np.asarray(ids_d[:rows]))
+
     for s in range(0, nq, q_tile):
         e = min(s + q_tile, nq)
         qt = jnp.zeros((q_tile, d), jnp.float32).at[: e - s].set(query[s:e])
@@ -383,12 +400,15 @@ def knn_fused(
             sub=_r2_sub(gsel.shape[1], d, q_tile),
         )
         if bound_queue:
-            out_s.append(np.asarray(sc[: e - s]))  # true sync: d2h fetch
-            out_i.append(np.asarray(ids[: e - s]))
+            pending.append((sc, ids, e - s))
+            if len(pending) > _QUEUE_WINDOW:
+                _drain_oldest()
         else:
             out_s.append(sc[: e - s])
             out_i.append(ids[: e - s])
     if bound_queue:
+        while pending:
+            _drain_oldest()
         scores = np.concatenate(out_s)
         ids = np.concatenate(out_i)
     else:
