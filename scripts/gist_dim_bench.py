@@ -64,31 +64,65 @@ def main():
             pass
         print(f"gt ready ({time.time() - t0:.1f}s)", flush=True)
 
-    cfg = Config(dataset="gistbench", data_path="/tmp/gistbench", k=k,
-                 n_bkt=n_bkt, n_epoch=n_epoch, pth_log=None).update()
-    cfg.pth_log = None
-    res = run_smallscale(cfg, bundle=b, serve_sweep=False, use_cache=False)
-    print(f"pipeline trained ({time.time() - t0:.1f}s)", flush=True)
+    # the trained index (not the corpus) is cached so engine-config sweeps
+    # can rerun without the ~35-min pipeline: centroids + d2b + scaler +
+    # flattened MLP params are ~25 MB next to the 3.8 GB corpus cache
+    from lira_tpu.io.artifacts import load_params, save_params
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.partition.assign import build_bucket_layout
 
-    eng = QueryEngine(
-        b.base, res["layout"], res["kmeans"].centroids, res["scaler"],
-        res["state"].params, n_mul=cfg.n_mul, scan_impl="blocked",
-        scan_dtype="bfloat16",
-    )
-    rows = eng.sweep(b.query, b.groundtruth, k, np.arange(0.05, 0.95, 0.05))
+    art = f"/tmp/gist_artifacts_{n}_{dim}_{n_bkt}_{n_epoch}"
+    if os.path.exists(art + "_index.npz"):
+        f = np.load(art + "_index.npz")
+        centroids, d2b = f["centroids"], f["d2b"]
+        scaler = StandardScaler()
+        scaler.mean_, scaler.scale_ = f["mean"], f["scale"]
+        params = load_params(art + "_model.npz")
+        n_mul = d2b.shape[1]
+        layout = build_bucket_layout(d2b, n_bkt)
+        print(f"index artifacts from cache ({time.time() - t0:.1f}s)", flush=True)
+    else:
+        cfg = Config(dataset="gistbench", data_path="/tmp/gistbench", k=k,
+                     n_bkt=n_bkt, n_epoch=n_epoch, pth_log=None).update()
+        cfg.pth_log = None
+        res = run_smallscale(cfg, bundle=b, serve_sweep=False, use_cache=False)
+        print(f"pipeline trained ({time.time() - t0:.1f}s)", flush=True)
+        centroids = np.asarray(res["kmeans"].centroids)
+        d2b = np.asarray(res["data_2_bkt"], np.int32)
+        scaler, params = res["scaler"], res["state"].params
+        n_mul, layout = cfg.n_mul, res["layout"]
+        np.savez(art + "_index.tmp.npz", centroids=centroids, d2b=d2b,
+                 mean=scaler.mean_, scale=scaler.scale_)
+        os.replace(art + "_index.tmp.npz", art + "_index.npz")
+        save_params(params, art + "_model.npz")
+
+    configs = [("bf16", dict(scan_dtype="bfloat16"))]
+    for name in sys.argv[6:] or ["int8", "int8-cap"]:
+        configs.append((name, {
+            "int8": dict(scan_dtype="int8"),
+            "int8-cap": dict(scan_dtype="int8", store_f32=False),
+            "bf16-cap": dict(scan_dtype="bfloat16", store_f32=False),
+        }[name]))
     os.makedirs("logs", exist_ok=True)
     with open("logs/gist_dim_sweep.csv", "w") as f:
-        f.write("threshold,nprobe,Recall,Computations,QPS\n")
-        for r in rows:
-            print(
-                f"[gist] thr={r['threshold']:.2f} recall={r['avg_recall']:.4f} "
-                f"nprobe={r['avg_nprobe']:.1f} ndis={r['avg_cmp']:.0f} "
-                f"QPS={r['qps']:.0f}", flush=True,
-            )
-            f.write(
-                f"{r['threshold']},{r['avg_nprobe']},{r['avg_recall']},"
-                f"{r['avg_cmp']},{r['qps']}\n"
-            )
+        f.write("config,threshold,nprobe,Recall,Computations,QPS\n")
+        for cname, kw in configs:
+            eng = QueryEngine(b.base, layout, centroids, scaler, params,
+                              n_mul=n_mul, scan_impl="blocked", **kw)
+            rows = eng.sweep(b.query, b.groundtruth, k,
+                             np.arange(0.05, 0.95, 0.05))
+            for r in rows:
+                print(
+                    f"[gist/{cname}] thr={r['threshold']:.2f} "
+                    f"recall={r['avg_recall']:.4f} "
+                    f"nprobe={r['avg_nprobe']:.1f} ndis={r['avg_cmp']:.0f} "
+                    f"QPS={r['qps']:.0f}", flush=True,
+                )
+                f.write(
+                    f"{cname},{r['threshold']},{r['avg_nprobe']},"
+                    f"{r['avg_recall']},{r['avg_cmp']},{r['qps']}\n"
+                )
+            del eng
     print("wrote logs/gist_dim_sweep.csv", flush=True)
 
 
