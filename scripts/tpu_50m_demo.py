@@ -120,18 +120,27 @@ def main():
           flush=True)
 
     t0 = time.time()
-    knn_sub = self_knn(subset, k)
-    d2b_sub = assign_sub.reshape(-1, 1).astype(np.int32)
+    # MLP training uses a 262144-row sub-subset of the K-Means subset: at
+    # n_bkt=4096 the 500k-row dist and label matrices are 8.2 GB EACH, so
+    # device staging OOMs a 16 GB chip (first run of this demo died there)
+    # and host staging re-uploads ~17 GB/epoch through the tunnel.  262k
+    # rows stage once in HBM (4.3 + 4.3 + 0.13 GB) and every epoch runs
+    # device-resident; the quantizer and scaler still use the full subset.
+    n_tr = min(n_sub, 262_144)
+    knn_sub = self_knn(subset[:n_tr], k)
+    d2b_sub = assign_sub[:n_tr].reshape(-1, 1).astype(np.int32)
     labels = knn_bucket_labels(knn_sub, d2b_sub, n_bkt)
     dist_sub, _, scaler = scaled_centroid_distances(subset, None, km.centroids)
     state = make_train_state(43, n_bkt, d, lr=1e-3)
-    lab_dev = jnp.asarray(labels, jnp.float32)
-    sub_dev = jnp.asarray(subset, jnp.float32)
+    dist_tr = jnp.asarray(dist_sub[:n_tr], jnp.float32)
+    lab_tr = jnp.asarray(labels, jnp.float32)
+    vec_tr = jnp.asarray(subset[:n_tr], jnp.float32)
+    del dist_sub, labels
     for ep in range(n_epoch):
-        state, loss = train_epoch(state, dist_sub, sub_dev, lab_dev, batch_size=512)
+        state, loss = train_epoch(state, dist_tr, vec_tr, lab_tr, batch_size=512)
         if ep % 10 == 0 or ep == n_epoch - 1:
             print(f"[train] epoch {ep} loss {float(loss):.5f}", flush=True)
-    del dist_sub, lab_dev, sub_dev, subset
+    del dist_tr, lab_tr, vec_tr, subset
     print(f"[train] self-kNN + {n_epoch} epochs ({time.time() - t0:.1f}s)",
           flush=True)
 
