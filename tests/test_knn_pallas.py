@@ -142,3 +142,20 @@ def test_knn_fused_bound_queue_path(monkeypatch):
     s_b, i_b = knn_pallas.knn_fused(base, q, 5, q_tile=512)
     np.testing.assert_array_equal(i_ref, i_b)
     np.testing.assert_allclose(s_ref, s_b, rtol=0, atol=0)
+
+
+def test_knn_fused_bound_queue_window_rotation(monkeypatch):
+    """The trailing-fetch window (_QUEUE_WINDOW tiles behind dispatch) must
+    assemble tiles in order across >window tiles plus a ragged tail."""
+    from lira_tpu.ops import knn_pallas
+
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(700, 16)).astype(np.float32)
+    q = rng.normal(size=(2210, 16)).astype(np.float32)  # 4 full tiles + 162
+    s_ref, i_ref = knn_pallas.knn_fused(base, q, 5, q_tile=512)
+    monkeypatch.setattr(knn_pallas, "_QUEUE_BOUND_BYTES", 1)
+    for window in (1, 2, 7):  # drain-every-tile / shipped / larger-than-loop
+        monkeypatch.setattr(knn_pallas, "_QUEUE_WINDOW", window)
+        s_b, i_b = knn_pallas.knn_fused(base, q, 5, q_tile=512)
+        np.testing.assert_array_equal(i_ref, i_b)
+        np.testing.assert_allclose(s_ref, s_b, rtol=0, atol=0)
