@@ -120,13 +120,15 @@ def main():
           flush=True)
 
     t0 = time.time()
-    # MLP training uses a 262144-row sub-subset of the K-Means subset: at
+    # MLP training uses a 131072-row sub-subset of the K-Means subset: at
     # n_bkt=4096 the 500k-row dist and label matrices are 8.2 GB EACH, so
-    # device staging OOMs a 16 GB chip (first run of this demo died there)
-    # and host staging re-uploads ~17 GB/epoch through the tunnel.  262k
-    # rows stage once in HBM (4.3 + 4.3 + 0.13 GB) and every epoch runs
-    # device-resident; the quantizer and scaler still use the full subset.
-    n_tr = min(n_sub, 262_144)
+    # device staging OOMs a 16 GB chip (first run of this demo died there;
+    # 262k rows = 8.7 GB staged ALSO died next to the superbatch program's
+    # workspace), and host staging re-uploads ~17 GB/epoch through the
+    # tunnel.  131k rows stage once in HBM (2.15 + 2.15 + 0.07 GB) and
+    # every epoch runs device-resident; the 10M demo's MLP trained on a
+    # comparable 100k subset.  The quantizer and scaler keep the full 1%.
+    n_tr = min(n_sub, 131_072)
     knn_sub = self_knn(subset[:n_tr], k)
     d2b_sub = assign_sub[:n_tr].reshape(-1, 1).astype(np.int32)
     labels = knn_bucket_labels(knn_sub, d2b_sub, n_bkt)
