@@ -59,22 +59,38 @@ from lira_tpu.redundancy.assign import (  # noqa: E402
     select_top_ratio,
 )
 
-CHUNK = 2_097_152  # f32 chunk = 1 GB on device
+CHUNK = int(os.environ.get("LIRA_DEMO_CHUNK", 2_097_152))  # f32 chunk = 1 GB
+BLOCK = min(65_536, CHUNK)  # assignment sub-slice inside the chunk program
+assert CHUNK % BLOCK == 0
 
 
-@partial(jax.jit, static_argnames=("sigma",))
-def _chunk_assign_counts(chunk, centroids, mean, scale, params, sigma=0.5):
+@partial(jax.jit, static_argnames=("sigma", "block"))
+def _chunk_assign_counts(chunk, centroids, mean, scale, params, sigma=0.5,
+                         block=BLOCK):
     """One fused device program per streamed chunk: sqrt-L2 to centroids →
     (argmin assignment, standardized features → MLP → predicted-nprobe
-    counts).  Only (m,) i32 + (m,) i32 leave the device."""
+    counts).  Only (m,) i32 + (m,) i32 leave the device.
+
+    The (m, n_bkt) distance/feature/score matrices are NEVER materialized
+    for the whole chunk — at n_bkt=4096 that is 32 GB f32 per 2M-row chunk
+    (the OOM in logs/tpu_50m_demo3.log).  lax.map walks `block`-row
+    sub-slices sequentially, bounding workspace to ~3×(block·n_bkt) f32
+    (≈3 GB at block=65536) while keeping ONE dispatch per chunk."""
     from lira_tpu.ops.distance import l2_to_centroids
 
-    d = l2_to_centroids(chunk, centroids)  # sqrt-L2, (m, n_bkt)
-    assign = jnp.argmin(d, axis=1).astype(jnp.int32)
-    feat = (d - mean) / scale
-    out = mlp_forward(params, feat, chunk)
-    counts = (out > sigma).sum(axis=1).astype(jnp.int32)
-    return assign, counts
+    m = chunk.shape[0]
+    assert m % block == 0, (m, block)
+
+    def body(xb):
+        d = l2_to_centroids(xb, centroids)  # sqrt-L2, (block, n_bkt)
+        assign = jnp.argmin(d, axis=1).astype(jnp.int32)
+        feat = (d - mean) / scale
+        out = mlp_forward(params, feat, xb)
+        counts = (out > sigma).sum(axis=1).astype(jnp.int32)
+        return assign, counts
+
+    a, c = jax.lax.map(body, chunk.reshape(m // block, block, -1))
+    return a.reshape(m), c.reshape(m)
 
 
 def main():
@@ -109,74 +125,126 @@ def main():
         except OSError:
             pass
 
-    # ---- 2. subset training (K-Means, scaler, probing MLP) ----
-    t0 = time.time()
-    n_sub = int(n * subset_frac)
-    sub_idx = np.sort(rng.choice(n, size=n_sub, replace=False))
-    subset = np.ascontiguousarray(x_d[sub_idx])
-    km = kmeans_fit(subset, n_bkt, niter=20, seed=43)
-    assign_sub = kmeans_assign(subset, km.centroids)
-    print(f"[train] subset {n_sub:,} K-Means({n_bkt}) ({time.time() - t0:.1f}s)",
-          flush=True)
+    # phase checkpoints: the axon rig's remote-compile service fails
+    # transiently (HTTP 500, logs/tpu_50m_demo3.log), and a blip mid-run
+    # otherwise costs the full ~20-min prefix.  Each phase's outputs are
+    # tiny next to the corpus; save and skip on rerun.
+    ck_train = f"/tmp/syn50m_train_{n}_{n_bkt}_{n_epoch}.npz"
+    ck_pass = f"/tmp/syn50m_pass_{n}_{n_bkt}_{n_epoch}.npz"
 
-    t0 = time.time()
-    # MLP training uses a 131072-row sub-subset of the K-Means subset: at
-    # n_bkt=4096 the 500k-row dist and label matrices are 8.2 GB EACH, so
-    # device staging OOMs a 16 GB chip (first run of this demo died there;
-    # 262k rows = 8.7 GB staged ALSO died next to the superbatch program's
-    # workspace), and host staging re-uploads ~17 GB/epoch through the
-    # tunnel.  131k rows stage once in HBM (2.15 + 2.15 + 0.07 GB) and
-    # every epoch runs device-resident; the 10M demo's MLP trained on a
-    # comparable 100k subset.  The quantizer and scaler keep the full 1%.
-    n_tr = min(n_sub, 131_072)
-    knn_sub = self_knn(subset[:n_tr], k)
-    d2b_sub = assign_sub[:n_tr].reshape(-1, 1).astype(np.int32)
-    labels = knn_bucket_labels(knn_sub, d2b_sub, n_bkt)
-    dist_sub, _, scaler = scaled_centroid_distances(subset, None, km.centroids)
-    state = make_train_state(43, n_bkt, d, lr=1e-3)
-    dist_tr = jnp.asarray(dist_sub[:n_tr], jnp.float32)
-    lab_tr = jnp.asarray(labels, jnp.float32)
-    vec_tr = jnp.asarray(subset[:n_tr], jnp.float32)
-    del dist_sub, labels
-    for ep in range(n_epoch):
-        state, loss = train_epoch(state, dist_tr, vec_tr, lab_tr, batch_size=512)
-        if ep % 10 == 0 or ep == n_epoch - 1:
-            print(f"[train] epoch {ep} loss {float(loss):.5f}", flush=True)
-    del dist_tr, lab_tr, vec_tr, subset
-    print(f"[train] self-kNN + {n_epoch} epochs ({time.time() - t0:.1f}s)",
-          flush=True)
+    # ---- 2. subset training (K-Means, scaler, probing MLP) ----
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.checkpoint import load_train_state, save_train_state
+
+    if os.path.exists(ck_train) and os.path.exists(ck_train + ".state.npz"):
+        f = np.load(ck_train)
+        km_centroids = f["centroids"]
+        scaler = StandardScaler()
+        scaler.mean_ = f["scaler_mean"]
+        scaler.scale_ = f["scaler_scale"]
+        state, _ = load_train_state(ck_train + ".state.npz",
+                                    make_train_state(43, n_bkt, d, lr=1e-3))
+        print("[train] restored from phase checkpoint", flush=True)
+    else:
+        t0 = time.time()
+        n_sub = int(n * subset_frac)
+        sub_idx = np.sort(rng.choice(n, size=n_sub, replace=False))
+        subset = np.ascontiguousarray(x_d[sub_idx])
+        km = kmeans_fit(subset, n_bkt, niter=20, seed=43)
+        km_centroids = km.centroids
+        assign_sub = kmeans_assign(subset, km.centroids)
+        print(f"[train] subset {n_sub:,} K-Means({n_bkt}) "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+        t0 = time.time()
+        # MLP training uses a 131072-row sub-subset of the K-Means subset: at
+        # n_bkt=4096 the 500k-row dist and label matrices are 8.2 GB EACH, so
+        # device staging OOMs a 16 GB chip (first run of this demo died there;
+        # 262k rows = 8.7 GB staged ALSO died next to the superbatch program's
+        # workspace), and host staging re-uploads ~17 GB/epoch through the
+        # tunnel.  131k rows stage once in HBM (2.15 + 2.15 + 0.07 GB) and
+        # every epoch runs device-resident; the 10M demo's MLP trained on a
+        # comparable 100k subset.  The quantizer and scaler keep the full 1%.
+        n_tr = min(n_sub, 131_072)
+        knn_sub = self_knn(subset[:n_tr], k)
+        d2b_sub = assign_sub[:n_tr].reshape(-1, 1).astype(np.int32)
+        labels = knn_bucket_labels(knn_sub, d2b_sub, n_bkt)
+        dist_sub, _, scaler = scaled_centroid_distances(subset, None,
+                                                        km.centroids)
+        state = make_train_state(43, n_bkt, d, lr=1e-3)
+        dist_tr = jnp.asarray(dist_sub[:n_tr], jnp.float32)
+        lab_tr = jnp.asarray(labels, jnp.float32)
+        vec_tr = jnp.asarray(subset[:n_tr], jnp.float32)
+        del dist_sub, labels
+        for ep in range(n_epoch):
+            state, loss = train_epoch(state, dist_tr, vec_tr, lab_tr,
+                                      batch_size=512)
+            if ep % 10 == 0 or ep == n_epoch - 1:
+                print(f"[train] epoch {ep} loss {float(loss):.5f}", flush=True)
+        del dist_tr, lab_tr, vec_tr, subset
+        print(f"[train] self-kNN + {n_epoch} epochs ({time.time() - t0:.1f}s)",
+              flush=True)
+        try:
+            save_train_state(state, ck_train + ".state.npz")
+            np.savez(ck_train + ".tmp.npz", centroids=km_centroids,
+                     scaler_mean=scaler.mean_, scaler_scale=scaler.scale_)
+            os.replace(ck_train + ".tmp.npz", ck_train)
+        except OSError:
+            pass
 
     # ---- 3. ONE streamed full pass: GT partials + assignment + counts ----
-    t0 = time.time()
-    mean = jnp.asarray(scaler.mean_)
-    scale = jnp.asarray(scaler.scale_)
-    cents = jnp.asarray(km.centroids, jnp.float32)
-    q_dev = jnp.asarray(x_q, jnp.float32)
-    assign = np.empty(n, np.int32)
-    counts = np.empty(n, np.int32)
-    best_s = best_i = None
-    for s in range(0, n, CHUNK):
-        e = min(s + CHUNK, n)
-        chunk_dev = jnp.asarray(x_d[s:e])
-        a_c, c_c = _chunk_assign_counts(chunk_dev, cents, mean, scale, state.params)
-        sc, ids = exact_knn(chunk_dev, q_dev, k)  # GT partial, device-resident
-        assign[s:e] = np.asarray(a_c)
-        counts[s:e] = np.asarray(c_c)
-        ids = ids.astype(np.int64) + s
-        if best_s is None:
-            best_s, best_i = sc, ids
-        else:
-            cs = np.concatenate([best_s, sc], axis=1)
-            ci = np.concatenate([best_i, ids], axis=1)
-            sel = np.argsort(cs, axis=1, kind="stable")[:, :k]
-            best_s = np.take_along_axis(cs, sel, axis=1)
-            best_i = np.take_along_axis(ci, sel, axis=1)
-        del chunk_dev
-        if (s // CHUNK) % 5 == 0:
-            print(f"[pass] {e:,}/{n:,} rows ({time.time() - t0:.1f}s)", flush=True)
-    gt = best_i
-    print(f"[pass] full streamed pass: GT + assignment + counts "
-          f"({time.time() - t0:.1f}s)", flush=True)
+    if os.path.exists(ck_pass):
+        f = np.load(ck_pass)
+        assign, counts, gt = f["assign"], f["counts"], f["gt"]
+        print("[pass] restored from phase checkpoint", flush=True)
+    else:
+        t0 = time.time()
+        mean = jnp.asarray(scaler.mean_)
+        scale = jnp.asarray(scaler.scale_)
+        cents = jnp.asarray(km_centroids, jnp.float32)
+        q_dev = jnp.asarray(x_q, jnp.float32)
+        assign = np.empty(n, np.int32)
+        counts = np.empty(n, np.int32)
+        best_s = best_i = None
+        for s in range(0, n, CHUNK):
+            e = min(s + CHUNK, n)
+            m = e - s
+            if m < CHUNK:
+                # pad the tail to the one compiled shape; padded rows are
+                # excluded below (assignment slice + kNN id mask)
+                pad = np.zeros((CHUNK, d), np.float32)
+                pad[:m] = x_d[s:e]
+                chunk_dev = jnp.asarray(pad)
+                del pad
+            else:
+                chunk_dev = jnp.asarray(x_d[s:e])
+            a_c, c_c = _chunk_assign_counts(chunk_dev, cents, mean, scale,
+                                            state.params)
+            sc, ids = exact_knn(chunk_dev, q_dev, k)  # GT partial, on device
+            assign[s:e] = np.asarray(a_c)[:m]
+            counts[s:e] = np.asarray(c_c)[:m]
+            sc = np.where(ids < m, sc, np.inf)  # drop padded rows
+            ids = ids.astype(np.int64) + s
+            if best_s is None:
+                best_s, best_i = sc, ids
+            else:
+                cs = np.concatenate([best_s, sc], axis=1)
+                ci = np.concatenate([best_i, ids], axis=1)
+                sel = np.argsort(cs, axis=1, kind="stable")[:, :k]
+                best_s = np.take_along_axis(cs, sel, axis=1)
+                best_i = np.take_along_axis(ci, sel, axis=1)
+            del chunk_dev
+            if (s // CHUNK) % 5 == 0:
+                print(f"[pass] {e:,}/{n:,} rows ({time.time() - t0:.1f}s)",
+                      flush=True)
+        gt = best_i
+        print(f"[pass] full streamed pass: GT + assignment + counts "
+              f"({time.time() - t0:.1f}s)", flush=True)
+        try:
+            np.savez(ck_pass + ".tmp.npz", assign=assign, counts=counts, gt=gt)
+            os.replace(ck_pass + ".tmp.npz", ck_pass)
+        except OSError:
+            pass
 
     # ---- 4. learning-based redundancy on the top-3% boundary minority ----
     t0 = time.time()
@@ -184,7 +252,7 @@ def main():
     d2b[:, 0] = assign
     selected = np.sort(select_top_ratio(counts, re_ratio))
     sel_rows = np.ascontiguousarray(x_d[selected])
-    sel_dist, _, _ = scaled_centroid_distances(sel_rows, None, km.centroids,
+    sel_dist, _, _ = scaled_centroid_distances(sel_rows, None, km_centroids,
                                                scaler=scaler)
     sel_predicts, sel_scores = infer(state, sel_dist, sel_rows)
     d2b = apply_redundancy_subset(d2b, sel_scores, sel_predicts, selected)
@@ -197,7 +265,7 @@ def main():
     # ---- 5. int8-capacity engine + measured sweep ----
     t0 = time.time()
     eng = QueryEngine(
-        x_d, layout, km.centroids, scaler, state.params,
+        x_d, layout, km_centroids, scaler, state.params,
         n_mul=2, scan_impl="blocked", probe_cap=256,
         scan_dtype="int8", store_f32=False,
     )
