@@ -59,6 +59,11 @@ def main():
         (batch, d), dtype=np.float32
     ) * 10.0
 
+    from lira_tpu.ops.knn import exact_knn
+
+    n_oracle = min(512, batch)
+    gt_sc, gt_ids = exact_knn(x_d, x_q[:n_oracle], 10)
+
     km = kmeans_fit(x_d, n_bkt, niter=10, seed=43)
     layout = build_bucket_layout(kmeans_assign(x_d, km.centroids), n_bkt)
     raw = np.empty((100_000, n_bkt), np.float32)
@@ -94,9 +99,11 @@ def main():
                 # (clamping here would score -1 pad slots as id 0)
                 eng._rerank_f32(x_q, r.ids, r.scores)
             rr = time.perf_counter() - t0
+            rec = (r.ids[:n_oracle, :, None] == gt_ids[:, None, :]).any(1).mean()
             print(
                 f"[{name}] nprobe~{r.nprobe.mean():.1f} ndis={r.ndis.mean():.0f}"
-                f" total={total:.3f}s rerank~{rr:.3f}s qps={batch / total:.0f}",
+                f" total={total:.3f}s rerank~{rr:.3f}s qps={batch / total:.0f}"
+                f" recall@10={rec:.4f}",
                 flush=True,
             )
         del eng
