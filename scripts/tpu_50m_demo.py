@@ -50,14 +50,11 @@ from lira_tpu.io.datasets import (  # noqa: E402
 from lira_tpu.labels.distr import knn_bucket_labels  # noqa: E402
 from lira_tpu.labels.scaler import scaled_centroid_distances  # noqa: E402
 from lira_tpu.models.probing_mlp import forward as mlp_forward  # noqa: E402
-from lira_tpu.models.train import infer, make_train_state, train_epoch  # noqa: E402
+from lira_tpu.models.train import make_train_state, train_epoch  # noqa: E402
 from lira_tpu.ops.knn import exact_knn, self_knn  # noqa: E402
 from lira_tpu.partition.assign import build_bucket_layout  # noqa: E402
 from lira_tpu.partition.kmeans import kmeans_assign, kmeans_fit  # noqa: E402
-from lira_tpu.redundancy.assign import (  # noqa: E402
-    apply_redundancy_subset,
-    select_top_ratio,
-)
+from lira_tpu.redundancy.assign import select_top_ratio  # noqa: E402
 
 CHUNK = int(os.environ.get("LIRA_DEMO_CHUNK", 2_097_152))  # f32 chunk = 1 GB
 BLOCK = min(65_536, CHUNK)  # assignment sub-slice inside the chunk program
@@ -247,16 +244,46 @@ def main():
             pass
 
     # ---- 4. learning-based redundancy on the top-3% boundary minority ----
+    # Fused device scoring in HBM-budgeted batches (largescale.py's
+    # _fused_redundancy_batch): the (rows, n_bkt) feature/score/rank
+    # workspaces exist ONLY on device and only the (rows, 2) assignment
+    # returns to host.  The first run of this demo scored the full 1.5M-row
+    # minority through host-side `infer` — the (1.5M, 4096) dist/score/
+    # predict matrices plus their argsort temporaries next to the 25.6 GB
+    # corpus were OOM-killed at 131 GB anon RSS (logs/tpu_50m_demo4.log +
+    # dmesg; the host has 125 GB).
+    ck_red = f"/tmp/syn50m_red_{n}_{n_bkt}_{n_epoch}.npz"
+    if os.path.exists(ck_red):
+        f = np.load(ck_red)
+        d2b, selected = f["d2b"], f["selected"]
+        print("[redundancy] restored from phase checkpoint", flush=True)
+    else:
+        t0 = time.time()
+        from lira_tpu.pipelines.largescale import _fused_redundancy_batch
+
+        d2b = np.full((n, 2), -1, np.int32)
+        d2b[:, 0] = assign
+        selected = np.sort(select_top_ratio(counts, re_ratio))
+        cj = jnp.asarray(km_centroids, jnp.float32)
+        mean = jnp.asarray(scaler.mean_)
+        scale = jnp.asarray(scaler.scale_)
+        budget_rows = max(1 << 14, (1 << 32) // (n_bkt * 8))
+        for s in range(0, len(selected), budget_rows):
+            sl = selected[s : s + budget_rows]
+            d2b[sl] = np.asarray(_fused_redundancy_batch(
+                state.params, cj, mean, scale,
+                jnp.asarray(x_d[sl], jnp.float32),
+                jnp.asarray(d2b[sl, 0], jnp.int32),
+                jnp.float32(0.5), 2,
+            ))
+        print(f"[redundancy] {len(selected):,} boundary rows scored on device "
+              f"({time.time() - t0:.1f}s)", flush=True)
+        try:
+            np.savez(ck_red + ".tmp.npz", d2b=d2b, selected=selected)
+            os.replace(ck_red + ".tmp.npz", ck_red)
+        except OSError:
+            pass
     t0 = time.time()
-    d2b = np.full((n, 2), -1, np.int32)
-    d2b[:, 0] = assign
-    selected = np.sort(select_top_ratio(counts, re_ratio))
-    sel_rows = np.ascontiguousarray(x_d[selected])
-    sel_dist, _, _ = scaled_centroid_distances(sel_rows, None, km_centroids,
-                                               scaler=scaler)
-    sel_predicts, sel_scores = infer(state, sel_dist, sel_rows)
-    d2b = apply_redundancy_subset(d2b, sel_scores, sel_predicts, selected)
-    del sel_rows, sel_dist
     layout = build_bucket_layout(d2b, n_bkt)
     print(f"[redundancy] {len(selected):,} boundary rows duplicated; table "
           f"{layout.total:,} rows (×{layout.total / n:.3f}) "
