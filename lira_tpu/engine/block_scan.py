@@ -57,6 +57,9 @@ _BIG = 3e38
 # together (logs/capacity_20m.log).  _screen_rescore chunks block rows to
 # this budget and consumes each chunk before screening the next.
 _GMIN_BUDGET = 2 << 30
+# set by _screen_rescore at trace time: the chunking plan it chose
+# ({rows_per_call, u_chunk, U, n_blocks}) — tests assert the intended path
+_LAST_CHUNK_PLAN: dict | None = None
 
 # exact f32 row squared-norms of a device-resident table, one program
 # parameter (the square fuses into the reduce; no (rows, d) intermediate)
@@ -317,6 +320,7 @@ def _screen_rescore(
     q_rows = q_r1.reshape(n_blocks * qb, d)
 
     def screen_chunk(sup_c, s: int, e: int):
+        u_w = sup_c.shape[1]  # supertiles in this call (≤ U when U-chunked)
         in_specs = [
             pl.BlockSpec(
                 (qb, d), lambda i, u, sref, s=s: (s + i, 0), memory_space=pltpu.VMEM
@@ -340,7 +344,7 @@ def _screen_rescore(
             operands.append(s2_col)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(e - s, U),
+            grid=(e - s, u_w),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, SG, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
@@ -350,7 +354,7 @@ def _screen_rescore(
             partial(_union_groupmin_kernel, metric=metric, precision=precision,
                     sel_rows=sel_rows, quantized=quantized),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(((e - s), U * SG, qb), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(((e - s), u_w * SG, qb), jnp.float32),
             interpret=interpret,
         )(*operands)
 
@@ -383,17 +387,31 @@ def _screen_rescore(
     kg_eff = min(kg, U * SG)
     k_loc = min(fetch_k, kg_eff * sel_rows)
 
-    def per_block(args):
-        gmin_b, probed_b, tb_b, supers_b, q_b = args
-        # mask: a query sees only groups of buckets it probed
-        qb_ = q_b.shape[0]
+    def block_penalty(probed_b):
+        # mask: a query sees only groups of buckets it probed (row n_bkt =
+        # the catch-all penalty for padding tiles, tb == -1)
+        qb_ = probed_b.shape[0]
         pen_b = jnp.where(probed_b.T, 0.0, _BIG).astype(jnp.float32)  # (n_bkt, qb)
-        pen_b = jnp.concatenate([pen_b, jnp.full((1, qb_), _BIG, jnp.float32)], axis=0)
-        tbx = jnp.where(tb_b >= 0, tb_b, pen_b.shape[0] - 1)
-        masked = gmin_b + pen_b[tbx]  # (U*SG, qb)
+        return jnp.concatenate(
+            [pen_b, jnp.full((1, qb_), _BIG, jnp.float32)], axis=0
+        )
 
-        vals, sel = jax.lax.top_k(-masked.T, kg_eff)  # (qb, kg)
-        ggrp = supers_b[sel // SG] * SG + sel % SG  # global sel_rows-group index
+    def select_slice(gmin_b, pen_b, tb_b, supers_b, u0: int):
+        """Masked group selection over one U-slice of one block.
+
+        gmin_b: (Uc·SG, qb) screen minima for supertiles [u0, u0+Uc) of the
+        block's union; returns (vals (qb, min(kg_eff, Uc·SG)) negated masked
+        minima, ggrp global sel_rows-group ids).  The global top-kg over the
+        full union equals the top-kg of the per-slice top-kgs merged (every
+        global winner wins its own slice), so U-chunked selection is exact."""
+        tbx = jnp.where(tb_b >= 0, tb_b, pen_b.shape[0] - 1)
+        masked = gmin_b + pen_b[tbx]  # (Uc*SG, qb)
+        vals, sel = jax.lax.top_k(-masked.T, min(kg_eff, masked.shape[0]))
+        ggrp = supers_b[u0 + sel // SG] * SG + sel % SG  # global group index
+        return vals, ggrp
+
+    def rescore_block(q_b, vals, ggrp):
+        qb_ = q_b.shape[0]
         valid = vals > -(_BIG / 2)
         if screen_only:
             v, g = vals[:, :k_loc], ggrp[:, :k_loc].astype(jnp.int32)
@@ -437,25 +455,69 @@ def _screen_rescore(
         )
         return neg.reshape(qb_, k_loc), oid.reshape(qb_, k_loc)
 
+    def per_block(args):
+        gmin_b, probed_b, tb_b, supers_b, q_b = args
+        vals, ggrp = select_slice(gmin_b, block_penalty(probed_b), tb_b,
+                                  supers_b, 0)
+        return rescore_block(q_b, vals, ggrp)
+
     # screen-then-consume per chunk: chunk i+1's screen input is tied to
     # chunk i's selection output with an optimization_barrier, so XLA's
     # scheduler cannot hoist every screen ahead of the consumers and
-    # re-create the all-blocks gmin allocation the chunking exists to avoid
+    # re-create the all-blocks gmin allocation the chunking exists to avoid.
+    # A near-full union at ≥50M rows makes EVEN ONE block's screen output
+    # (U·SG, qb) f32 ~8 GB — the 50M demo's compile OOM
+    # (logs/tpu_50m_demo5.log: two 8 GB buffers, 16.4 GB demanded of 15.75)
+    # — and block-row chunking bottoms out at one block.  When one block's
+    # output exceeds half the budget, the screen is additionally chunked
+    # ALONG THE UNION with a running top-kg merge per block (exact — see
+    # select_slice), so peak HBM is one U-slice's output + its penalty
+    # gather + transpose, independent of corpus size.
+    u_chunk = max(1, (_GMIN_BUDGET // 2) // max(SG * qb * 4, 1))
+    global _LAST_CHUNK_PLAN  # debug/test introspection of the chosen plan
+    _LAST_CHUNK_PLAN = {
+        "rows_per_call": rows_per_call, "u_chunk": u_chunk,
+        "U": U, "n_blocks": n_blocks, "sg": SG, "qb": qb,
+    }
+
     q_blocks = q_r2.reshape(n_blocks, qb, d)  # round-2 query (q·s for int8 capacity)
     neg_parts, ids_parts = [], []
     prev = None
-    for s in range(0, n_blocks, rows_per_call):
-        e = min(s + rows_per_call, n_blocks)
-        sup_c = supers[s:e]
-        if prev is not None:
-            sup_c, prev = jax.lax.optimization_barrier((sup_c, prev))
-        gmin_c = screen_chunk(sup_c, s, e)
-        neg_c, ids_c = jax.lax.map(
-            per_block, (gmin_c, probed_p[s:e], tb[s:e], sup_c, q_blocks[s:e])
-        )
-        prev = neg_c
-        neg_parts.append(neg_c)
-        ids_parts.append(ids_c)
+    if u_chunk >= U:
+        for s in range(0, n_blocks, rows_per_call):
+            e = min(s + rows_per_call, n_blocks)
+            sup_c = supers[s:e]
+            if prev is not None:
+                sup_c, prev = jax.lax.optimization_barrier((sup_c, prev))
+            gmin_c = screen_chunk(sup_c, s, e)
+            neg_c, ids_c = jax.lax.map(
+                per_block, (gmin_c, probed_p[s:e], tb[s:e], sup_c, q_blocks[s:e])
+            )
+            prev = neg_c
+            neg_parts.append(neg_c)
+            ids_parts.append(ids_c)
+    else:
+        for b in range(n_blocks):
+            pen_b = block_penalty(probed_p[b])
+            carry_v = jnp.full((qb, kg_eff), -jnp.inf, jnp.float32)
+            carry_g = jnp.zeros((qb, kg_eff), jnp.int32)
+            for u0 in range(0, U, u_chunk):
+                u1 = min(u0 + u_chunk, U)
+                sup_c = supers[b : b + 1, u0:u1]
+                if prev is not None:
+                    sup_c, prev = jax.lax.optimization_barrier((sup_c, prev))
+                gmin_c = screen_chunk(sup_c, b, b + 1)[0]  # (Uc·SG, qb)
+                vals_c, ggrp_c = select_slice(
+                    gmin_c, pen_b, tb[b, u0 * SG : u1 * SG], supers[b], u0
+                )
+                mv = jnp.concatenate([carry_v, vals_c], axis=1)
+                mg = jnp.concatenate([carry_g, ggrp_c], axis=1)
+                carry_v, isel = jax.lax.top_k(mv, kg_eff)
+                carry_g = jnp.take_along_axis(mg, isel, axis=1)
+                prev = carry_v
+            neg_b, ids_b = rescore_block(q_blocks[b], carry_v, carry_g)
+            neg_parts.append(neg_b[None])
+            ids_parts.append(ids_b[None])
     neg = neg_parts[0] if len(neg_parts) == 1 else jnp.concatenate(neg_parts, axis=0)
     ids = ids_parts[0] if len(ids_parts) == 1 else jnp.concatenate(ids_parts, axis=0)
     return neg.reshape(B, k_loc), ids.reshape(B, k_loc), k_loc

@@ -105,6 +105,54 @@ def test_blocked_gmin_chunked_matches(rng, monkeypatch):
         block_scan._scan_all.clear_cache()
 
 
+def test_blocked_union_chunked_matches(rng, monkeypatch):
+    """At ≥50M rows a near-full union makes EVEN ONE block's screen output
+    (U·SG, qb) f32 ~8 GB (the 50M demo's compile OOM,
+    logs/tpu_50m_demo5.log), so _screen_rescore additionally chunks the
+    screen ALONG THE UNION with a running top-kg merge per block.  Forcing
+    one-supertile U-slices must leave results identical to the per-query
+    engine, and the plan introspection must confirm which branch ran."""
+    from lira_tpu.engine import block_scan
+
+    x_q, e_ref, e_blk = _build(rng, "L2", block_q=8)  # 33 queries → 5 blocks
+
+    # default budget at these shapes: single pass, no U-chunking
+    e_blk.search(x_q, 0.45, k=5)
+    plan0 = block_scan._LAST_CHUNK_PLAN
+    assert plan0["u_chunk"] >= plan0["U"]
+
+    # budget = exactly 2 block-outputs: rows chunk (2 per call) but the
+    # union stays whole — pins the row-chunk branch explicitly
+    budget_rows2 = 2 * plan0["U"] * plan0["sg"] * plan0["qb"] * 4
+    monkeypatch.setattr(block_scan, "_GMIN_BUDGET", budget_rows2)
+    block_scan._scan_all.clear_cache()
+    r1 = e_ref.search(x_q, 0.45, k=5)
+    r2 = e_blk.search(x_q, 0.45, k=5)
+    plan = block_scan._LAST_CHUNK_PLAN
+    assert plan["u_chunk"] >= plan["U"] and plan["rows_per_call"] == 2
+    np.testing.assert_array_equal(r1.ndis, r2.ndis)
+    for i in range(len(x_q)):
+        assert set(r1.ids[i][r1.ids[i] >= 0]) == set(r2.ids[i][r2.ids[i] >= 0]), i
+
+    # budget 1 byte: one-supertile U-slices, running top-kg merge
+    monkeypatch.setattr(block_scan, "_GMIN_BUDGET", 1)
+    block_scan._scan_all.clear_cache()
+    try:
+        for thr in (0.0, 0.45):
+            r1 = e_ref.search(x_q, thr, k=5)
+            r2 = e_blk.search(x_q, thr, k=5)
+            plan = block_scan._LAST_CHUNK_PLAN
+            assert plan["u_chunk"] == 1 and plan["U"] >= 2, plan
+            np.testing.assert_array_equal(r1.nprobe, r2.nprobe)
+            np.testing.assert_array_equal(r1.ndis, r2.ndis)
+            for i in range(len(x_q)):
+                assert set(r1.ids[i][r1.ids[i] >= 0]) == set(
+                    r2.ids[i][r2.ids[i] >= 0]
+                ), (thr, i)
+    finally:
+        block_scan._scan_all.clear_cache()
+
+
 def test_int8_requires_blocked_impl(rng):
     """The per-query xla/pallas paths have no quantized round 1."""
     from lira_tpu.engine.serve import QueryEngine
