@@ -64,6 +64,8 @@ def main():
     n_oracle = min(512, batch)
     gt_sc, gt_ids = exact_knn(x_d, x_q[:n_oracle], 10)
 
+    from lira_tpu.engine.ivf_baseline import ivf_probe_matrix
+
     km = kmeans_fit(x_d, n_bkt, niter=10, seed=43)
     layout = build_bucket_layout(kmeans_assign(x_d, km.centroids), n_bkt)
     raw = np.empty((100_000, n_bkt), np.float32)
@@ -80,9 +82,16 @@ def main():
         ("bf16-cap", dict(scan_dtype="bfloat16", store_f32=False)),
         ("int8-cap", dict(scan_dtype="int8", store_f32=False)),
     ]
+    # IVF-style prober (probe the M nearest centroids): every engine probes
+    # the SAME buckets — so equal recall pins that the capacity re-rank
+    # loses nothing — and, unlike the untrained-MLP prober of the first
+    # profile run (logs/capacity_profile_r4.log: recall ~= nprobe/n_bkt by
+    # construction), the absolute recall column is meaningful.
+    prober = lambda q: ivf_probe_matrix(q, np.asarray(km.centroids))  # noqa: E731
     for name, kw in engines:
         eng = QueryEngine(x_d, layout, km.centroids, scaler, params,
-                          probe_cap=128, block_q=1024, scan_impl="blocked", **kw)
+                          probe_cap=128, block_q=1024, scan_impl="blocked",
+                          prober=prober, **kw)
         outputs = eng.probe(x_q[:512])
         for target_nprobe in (8, 32, 96):
             thr = float(np.quantile(outputs, 1.0 - target_nprobe / n_bkt))
