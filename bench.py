@@ -279,6 +279,27 @@ def serving_bench():
     if r095 is None:
         log("recall-sweep: no rung reached recall 0.95 (recorded as null)")
 
+    # sustained pipelined throughput at the headline operating point:
+    # search_stream overlaps batch i+1's probe + host union build with
+    # batch i's scan (bit-identical results — engine/serve.py), hiding the
+    # ~0.1-0.2 s/batch of host round trips the phase profile attributes to
+    # probe+union sync.  Reported as a sidecar metric, NOT the headline
+    # (the headline stays single-batch `search` for cross-round
+    # comparability).
+    qps_stream = None
+    try:
+        thr_h = float(np.quantile(outputs, 1.0 - 8 / n_bkt))
+        big = np.tile(x_q, (2, 1))
+        eng.search_stream(big, thr_h, k, batch_size=batch)  # warmup both batches
+        t0 = time.perf_counter()
+        r_s = eng.search_stream(big, thr_h, k, batch_size=batch)
+        el = time.perf_counter() - t0
+        qps_stream = round(len(big) / el, 1)
+        log(f"stream[{best_dtype}] {len(big)} queries in 2 pipelined batches: "
+            f"{qps_stream:.0f} QPS sustained (ndis={r_s.ndis.mean():.0f})")
+    except Exception as exc:  # never let the sidecar stream kill the headline
+        log(f"stream measurement failed ({type(exc).__name__}: {exc})")
+
     from lira_tpu.io.datasets import hard_regime_sig
 
     baseline = ref_cpu_qps()
@@ -293,9 +314,11 @@ def serving_bench():
         # regime versioning: corpus generator signature (VERDICT r3 item 7)
         "corpus_sig": hard_regime_sig(),
         "qps_at_recall095": None if r095 is None else r095["qps"],
+        "qps_stream_sustained": qps_stream,
     }
     sidecar.update(corpus_sig=hard_regime_sig(), recall095=r095,
-                   headline_dtype=best_dtype, ref_cpu_qps=baseline)
+                   headline_dtype=best_dtype, ref_cpu_qps=baseline,
+                   qps_stream_sustained=qps_stream)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "logs", "bench_sidecar.json"), "w") as f:
