@@ -223,30 +223,51 @@ def serving_bench():
         log(f"oracle check[{scan_dtype}]: neighbor sets exact on 64 sampled queries")
         return qps, eng, outputs
 
-    # headline: fastest oracle-exact screen wins — int8 (¼ the screen's HBM
-    # bytes, int32 MXU) → bf16 (½, zero measured misses at this margin,
-    # docs/bf16_screen.md) → all-f32.  Every candidate must pass the 64-query
-    # exact-neighbor oracle above; a screen whose margin misses a tile on
-    # this distribution trips the assertion and the next dtype is measured.
-    qps, best = None, None
-    for dtype in ("int8", "bfloat16", "float32"):
+    # headline: fastest oracle-exact screen wins.  int8 (¼ the screen's HBM
+    # bytes, int32 MXU) and bf16 (½, zero measured misses at this margin,
+    # docs/bf16_screen.md) are within ~10% of each other and round 4's
+    # single-pass ordering FLIPPED between same-day sessions (VERDICT r4
+    # weak 2) — so the headline is decided by an INTERLEAVED A/B within
+    # this session: both engines warm, then alternating timed passes,
+    # median of 3 reps per dtype.  f32 only runs if both fail the oracle.
+    engines = {}
+    for dtype in ("int8", "bfloat16"):
         try:
-            cand, eng_c, outputs_c = measure(dtype)
+            engines[dtype] = measure(dtype)  # (first_qps, engine, outputs)
         except Exception as exc:
             # oracle miss OR a per-dtype compile failure (e.g. the int8
             # Mosaic lowering on an older chip) — never let one dtype's
             # failure demote the whole serving bench to the kNN fallback
             log(f"{dtype} engine failed ({type(exc).__name__}: {exc}); "
                 "trying the next screen dtype")
-            continue
-        if qps is None or cand > qps:
-            qps, best = cand, (dtype, eng_c, outputs_c)
-        else:
-            del eng_c
-        if dtype != "int8":
-            break  # int8 may lose to bf16 (rescore-bound); f32 never beats bf16
-    if qps is None:
-        raise AssertionError("every screen dtype failed the oracle")
+    if not engines:
+        engines["float32"] = measure("float32")  # raises if it too fails
+
+    if len(engines) >= 2:
+        reps = {d: [] for d in engines}
+        for rep in range(3):
+            for dtype, (_, e_d, o_d) in engines.items():
+                thr_d = float(np.quantile(o_d, 1.0 - 8 / n_bkt))
+                t0 = time.perf_counter()
+                e_d.search(x_q, thr_d, k)
+                reps[dtype].append(batch / (time.perf_counter() - t0))
+        medians = {d: float(np.median(v)) for d, v in reps.items()}
+        order = sorted(medians, key=medians.get, reverse=True)
+        spread = {d: f"{min(v):.0f}-{max(v):.0f}" for d, v in reps.items()}
+        log(f"interleaved A/B medians: "
+            + ", ".join(f"{d}={medians[d]:.0f}" for d in order)
+            + f" (rep spread {spread}) -> headline {order[0]}")
+        sidecar["ab_interleaved"] = {
+            d: {"reps": [round(v, 1) for v in reps[d]],
+                "median": round(medians[d], 1)} for d in reps
+        }
+        qps = medians[order[0]]
+        best = (order[0], engines[order[0]][1], engines[order[0]][2])
+        for d in order[1:]:
+            del engines[d]
+    else:
+        (dtype, (cand, eng_c, outputs_c)), = engines.items()
+        qps, best = cand, (dtype, eng_c, outputs_c)
 
     # recall-targeted operating point (VERDICT r3 item 7): QPS at the
     # cheapest threshold whose recall@k >= 0.95 on the gt sample, so the

@@ -993,8 +993,12 @@ def _screen_qb_cap(d: int, scan_dtype) -> int:
     s128 = S_TILES * 128
     b = jnp.dtype(scan_dtype).itemsize
     avail = budget - 2 * b * d * s128 - 4 * s128 * d
-    cap = avail // (2 * b * d + 12 * s128)
-    cap = 1 << max(int(cap).bit_length() - 1, 3)  # pow2 floor, ≥ 8
+    # avail can go negative at very wide dims (f32 d>1280, bf16 d>1920,
+    # int8 d>2560); Python's bit_length() on a negative int is the
+    # magnitude's, which would return a spuriously LARGE cap exactly where
+    # the guard matters — clamp to the minimum before the pow2 floor.
+    cap = max(int(avail // (2 * b * d + 12 * s128)), 8)
+    cap = 1 << max(cap.bit_length() - 1, 3)  # pow2 floor, ≥ 8
     return cap
 
 

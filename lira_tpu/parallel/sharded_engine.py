@@ -34,6 +34,7 @@ from ..engine.block_scan import (
     _dedup_topk_dev,
     _prepare_from_mask,
     _probe_prepare,
+    _screen_qb_cap,
     _screen_rescore,
 )
 from ..engine.serve import SearchResult, _probe
@@ -608,6 +609,11 @@ class ShardedQueryEngine:
         B, d = queries.shape
         n_bkt = self.layout.n_bkt
         qb = max(8, min(self.block_q, _pow2ceil(B)))
+        if self.local_impl == "pallas":
+            # same scoped-VMEM guard as the single-chip _probe_batch: at wide
+            # dims (e.g. d=960 bf16) qb=1024 overflows the screen kernel's
+            # VMEM budget; cap the union block so the sharded screen compiles
+            qb = min(qb, _screen_qb_cap(d, self.scan_dtype))
         B_pad = -(-B // qb) * qb
         q_pad = np.zeros((B_pad, d), np.float32)
         q_pad[:B] = queries

@@ -143,7 +143,19 @@ def calibrate_screen_margins(
             )
             del eng
         except Exception as exc:  # pragma: no cover - env-specific
-            fprint(f">> margin calibration skipped for {dtype}: {exc}", log_file)
+            # Only swallow known environment-specific lowering failures
+            # (e.g. int8 Mosaic off-TPU); anything else is a real bug the
+            # user opted in to see — --calibrate_margin must not silently
+            # ship default margins over it.
+            msg = f"{type(exc).__name__}: {exc}"
+            env_markers = (
+                "mosaic", "lowering", "unsupported", "unimplemented",
+                "not implemented", "interpret", "tpu",
+            )
+            if not any(m in msg.lower() for m in env_markers):
+                raise
+            fprint(f">> margin calibration skipped for {dtype}: {msg}", log_file)
+            out[dtype] = {"skipped": msg}
     return out
 
 

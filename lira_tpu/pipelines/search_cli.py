@@ -31,7 +31,13 @@ def manifest_margin(manifest: dict, scan_dtype: str,
     the engine then uses the shipped default.
     """
     cal = (manifest.get("calibrated_margins") or {}).get(scan_dtype)
-    if not cal:
+    if not cal or "margin" not in cal:
+        # absent, or recorded as {"skipped": reason} by build_index when
+        # calibration hit an env-specific lowering failure — use defaults,
+        # but make the skip visible rather than silent
+        if cal and cal.get("skipped"):
+            print(f"[search] {scan_dtype} margin calibration was skipped at "
+                  f"build time ({cal['skipped']}); serving shipped default")
         return None
     margin = int(cal["margin"])
     cal_rows = int(cal.get("sel_rows", 128))

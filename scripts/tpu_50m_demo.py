@@ -217,10 +217,18 @@ def main():
                 chunk_dev = jnp.asarray(x_d[s:e])
             a_c, c_c = _chunk_assign_counts(chunk_dev, cents, mean, scale,
                                             state.params)
-            sc, ids = exact_knn(chunk_dev, q_dev, k)  # GT partial, on device
+            if m < CHUNK:
+                # GT must NOT see the zero-padded tail: pad rows rank at
+                # score 0 (||0||² − 2·0·q) and can displace real rows from
+                # the per-chunk top-k BEFORE the id mask below.  exact_knn
+                # pads internally with a 1e30 penalty applied before top-k
+                # (ops/knn.py:_prepare_corpus), so feed it the raw slice.
+                sc, ids = exact_knn(x_d[s:e], q_dev, k)
+            else:
+                sc, ids = exact_knn(chunk_dev, q_dev, k)  # GT partial, on device
             assign[s:e] = np.asarray(a_c)[:m]
             counts[s:e] = np.asarray(c_c)[:m]
-            sc = np.where(ids < m, sc, np.inf)  # drop padded rows
+            sc = np.where(ids < m, sc, np.inf)  # belt-and-braces pad-id mask
             ids = ids.astype(np.int64) + s
             if best_s is None:
                 best_s, best_i = sc, ids
