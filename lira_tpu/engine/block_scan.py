@@ -86,8 +86,15 @@ def _probe_prepare(
     threshold: jax.Array,  # () f32
     m: int,  # probe cap (n_bkt for dense semantics)
     qb: int,  # block size; B_pad % qb == 0
+    rank: jax.Array | None = None,  # (n_bkt,) i32 locality rank (partition/order.py)
 ):
     """One device program: probe → select → sort-by-top-bucket → unions.
+
+    `rank` remaps the grouping key: queries are sorted by their top
+    bucket's position in a centroid-locality tour instead of its raw ID,
+    so blocks share probe sets and the per-block union shrinks (the sort
+    only changes which queries share a block — per-query results and ndis
+    are identical for any rank).
 
     Returns (device: probed (B_pad, n_bkt) bool, perm (B_pad,) i32;
     host-bound: union (n_blocks, n_bkt) bool, nprobe (B_pad,), ndis (B_pad,)).
@@ -102,8 +109,9 @@ def _probe_prepare(
     keep = keep.at[:, 0].set(True)  # argmax fallback (search.cpp:447-466)
     keep = keep & live[:, None]
     probed = jnp.zeros((B, n_bkt), bool).at[rows[:, None], idx].set(keep)
-    top1 = jnp.where(live, idx[:, 0], n_bkt)  # dead rows sort last
-    perm = jnp.argsort(top1, stable=True).astype(jnp.int32)
+    key = idx[:, 0] if rank is None else rank[idx[:, 0]]
+    key = jnp.where(live, key, n_bkt)  # dead rows sort last
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     union = probed[perm].reshape(B // qb, qb, n_bkt).any(axis=1)
     nprobe = probed.sum(axis=1).astype(jnp.int32)
     # int32 is exact here: per-query ndis ≤ corpus rows + redundancy < 2^31
@@ -112,10 +120,18 @@ def _probe_prepare(
 
 
 @partial(jax.jit, static_argnames=("qb",))
-def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int):
+def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int,
+                       rank: jax.Array | None = None):
     """Grouping + unions for an externally-supplied probed mask (custom
     prober, e.g. the IVF baseline)."""
-    perm = jnp.argsort(top1, stable=True).astype(jnp.int32)
+    if rank is None:
+        key = top1
+    else:
+        # top1 == n_bkt marks pad rows; extend the rank table so they
+        # keep sorting last
+        ext = jnp.append(rank, jnp.asarray(rank.shape[0], rank.dtype))
+        key = ext[top1]
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     B, n_bkt = probed.shape
     union = probed[perm].reshape(B // qb, qb, n_bkt).any(axis=1)
     return perm, union
@@ -1042,6 +1058,8 @@ def _probe_batch(
             state._q_cache = (q_pad, q_dev)
 
     n_bkt = engine.layout.n_bkt
+    rank = getattr(engine, "bucket_rank", None)
+    rank_dev = None if rank is None else jnp.asarray(rank, jnp.int32)
     if engine.prober is not None:
         # pluggable prober (e.g. the IVF centroid-rank baseline): host
         # outputs → engine threshold + argmax-fallback selection semantics
@@ -1053,7 +1071,8 @@ def _probe_batch(
             )
         top1 = np.concatenate([outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)])
         probed = jnp.asarray(probed_h)
-        perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
+        perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb,
+                                         rank_dev)
         nprobe = probed_h[:B].sum(axis=1)
         ndis = probed_h[:B] @ engine.sizes.astype(np.int64)
     else:
@@ -1061,7 +1080,7 @@ def _probe_batch(
         probed, perm, union, nprobe, ndis = _probe_prepare(
             engine.params, engine.centroids, engine.scaler_mean,
             engine.scaler_scale, q_dev, jnp.asarray(engine.sizes, jnp.int32),
-            jnp.int32(B), jnp.float32(threshold), m, qb,
+            jnp.int32(B), jnp.float32(threshold), m, qb, rank_dev,
         )
     return dict(q=q_dev, probed=probed, perm=perm, union=union,
                 nprobe=nprobe, ndis=ndis, B=B, qb=qb)

@@ -191,6 +191,9 @@ class QueryEngine:
         # (None → measured optimum 32 for bf16 / 64 for f32; 32/64 shrink
         # round-2 gather traffic 4×/2×, scripts/sel_rows_bench.py:
         # +29%/+11% QPS at the 0.8%-ndis point on 1M×128)
+        block_order: str = "tour",  # blocked scan query-grouping key:
+        # 'tour' sorts query blocks by a centroid-locality tour of their
+        # top bucket (smaller block unions); 'id' = raw bucket id
         store_f32: bool = True,  # False (bf16 blocked only) = CAPACITY mode:
         # one bf16 table serves both rounds — 0.5× the corpus in HBM (vs
         # 1.5× bf16 / 1.0× f32), doubling rows-per-chip; final ordering is
@@ -256,6 +259,17 @@ class QueryEngine:
 
         if scan_impl == "blocked":
             from .block_scan import S_TILES, BlockScanState
+            from ..partition.order import centroid_tour_rank
+
+            # locality relabeling for the query-grouping sort: queries in a
+            # block then share probe sets, shrinking the block union the MXU
+            # screen pays for (partition/order.py; measured in
+            # scripts/skew_profile.py).  Grouping strategy only — per-query
+            # results/ndis are rank-invariant.  Opt out with block_order="id".
+            self.bucket_rank = (
+                centroid_tour_rank(np.asarray(centroids, np.float32))
+                if block_order == "tour" else None
+            )
 
             if self.tile != 128:
                 # the blocked kernel's supertile DMA, group-min sublane
@@ -567,15 +581,20 @@ class QueryEngine:
         warmup: bool = True,
     ) -> list[dict]:
         """End-to-end measured sweep (the C++ engine's outer loop,
-        search.cpp:413-549): recall / nprobe / ndis / QPS per threshold."""
+        search.cpp:413-549): recall / nprobe / ndis / QPS per threshold.
+
+        warmup runs every threshold once untimed at the FULL batch shape
+        before its timed pass: each threshold can land a new pow2 union
+        width (a fresh _scan_all compile), and a smaller warmup batch would
+        compile different (qb / block) shapes — either way the first timed
+        search would pay seconds of XLA compile inside the QPS number
+        (round 4's GIST sweep interleaved 941-QPS compile rows with 12-15k
+        warm rows, VERDICT r4 weak 4)."""
         n_q = len(queries)
-        if warmup:
-            # warm up at the FULL batch shape: a smaller warmup batch
-            # compiles different (qb / block) shapes and the first timed
-            # search would pay seconds of XLA compile inside the QPS number
-            self.search(queries, float(thresholds[0]), k)
         rows = []
         for thr in thresholds:
+            if warmup:
+                self.search(queries, float(thr), k)
             res = self.search(queries, float(thr), k)
             recall = self.recall_against(res.ids, gt_ids, k)
             rows.append(

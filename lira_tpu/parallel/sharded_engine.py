@@ -461,6 +461,13 @@ class ShardedQueryEngine:
         self.scaler_mean = jnp.asarray(scaler.mean_)
         self.scaler_scale = jnp.asarray(scaler.scale_)
         self.params = params
+        # locality relabeling for the query-grouping sort (partition/order.py):
+        # same contract as the single-chip engine — grouping strategy only,
+        # per-query results/ndis are rank-invariant
+        from ..partition.order import centroid_tour_rank
+
+        self.bucket_rank = centroid_tour_rank(np.asarray(centroids, np.float32))
+        self._rank_dev = jnp.asarray(self.bucket_rank, jnp.int32)
 
         self._scan_cache: dict[tuple, object] = {}
 
@@ -632,7 +639,8 @@ class ShardedQueryEngine:
                 [outputs.argmax(axis=1), np.full(B_pad - B, n_bkt)]
             )
             probed = jnp.asarray(probed_h)
-            perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb)
+            perm, union = _prepare_from_mask(probed, jnp.asarray(top1, jnp.int32), qb,
+                                             self._rank_dev)
             nprobe = probed_h[:B].sum(axis=1)
             ndis = probed_h[:B] @ self.sizes.astype(np.int64)
         else:
@@ -640,7 +648,7 @@ class ShardedQueryEngine:
             probed, perm, union, nprobe, ndis = _probe_prepare(
                 self.params, self.centroids, self.scaler_mean, self.scaler_scale,
                 q_dev, jnp.asarray(self.sizes, jnp.int32), jnp.int32(B),
-                jnp.float32(threshold), m, qb,
+                jnp.float32(threshold), m, qb, self._rank_dev,
             )
         return dict(q=q_dev, probed=probed, perm=perm, union=union,
                     nprobe=nprobe, ndis=ndis, B=B, qb=qb)

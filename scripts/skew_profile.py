@@ -121,13 +121,24 @@ def main():
           f"uniform thr={thr_un:.4f} ndis={mean_ndis(out_un, thr_un):.0f}",
           flush=True)
 
-    modes = {"trained": (params_tr, thr_tr, eng), "uniform": (params_un, thr_un, pro_un)}
+    # three modes: trained with raw-id grouping (round 4's engine), trained
+    # with the centroid-tour locality grouping (partition/order.py), and the
+    # uniform-probe regime matched to trained ndis.  tour vs id is the SAME
+    # engine — only the grouping key changes (results are rank-invariant).
+    from lira_tpu.partition.order import centroid_tour_rank
+
+    rank_dev = jnp.asarray(centroid_tour_rank(np.asarray(km.centroids)), jnp.int32)
+    modes = {
+        "trained-id": (params_tr, thr_tr, eng, None),
+        "trained-tour": (params_tr, thr_tr, eng, rank_dev),
+        "uniform": (params_un, thr_un, pro_un, None),
+    }
     handles = {}
-    for name, (params, thr, e_m) in modes.items():
+    for name, (params, thr, e_m, rk) in modes.items():
         t_probe, (probed, perm, union, nprobe_d, ndis_d) = timed(
             _probe_prepare, params, eng.centroids, eng.scaler_mean,
             eng.scaler_scale, q_dev, sizes_dev, jnp.int32(batch),
-            jnp.float32(thr), 128, qb,
+            jnp.float32(thr), 128, qb, rk,
         )
         union_h = np.asarray(union)
         t0 = time.perf_counter()
@@ -149,7 +160,7 @@ def main():
               f"unions {1e3 * t_unions:.0f}ms", flush=True)
         handles[name] = dict(
             probed=probed, perm=perm, supers=jnp.asarray(supers),
-            tb=jnp.asarray(tb), thr=thr, engine=e_m,
+            tb=jnp.asarray(tb), thr=thr, engine=e_m, rank=rk,
         )
 
     common = dict(metric=eng.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
@@ -172,14 +183,22 @@ def main():
               f"full-scan {1e3 * t_full:.0f}ms -> {batch / t_full:.0f} scan-QPS",
               flush=True)
 
-    # interleaved e2e A/B: 3 reps each, alternating within one session
-    for name, h in handles.items():  # compile/warm both first
-        h["engine"].search(x_q, h["thr"], k)
+    # interleaved e2e A/B: 3 reps each, alternating within one session.
+    # the tour mode serves through the SAME engine object — _probe_batch
+    # reads engine.bucket_rank per call, so toggling the attribute flips
+    # only the grouping key (and the oracle-checked results are identical)
+    def run(h):
+        e = h["engine"]
+        e.bucket_rank = None if h["rank"] is None else np.asarray(h["rank"])
+        return e.search(x_q, h["thr"], k)
+
+    for name, h in handles.items():  # compile/warm all modes first
+        run(h)
     times = {m: [] for m in handles}
     for rep in range(3):
         for name, h in handles.items():
             t0 = time.perf_counter()
-            h["engine"].search(x_q, h["thr"], k)
+            run(h)
             times[name].append(time.perf_counter() - t0)
     for name, ts in times.items():
         med = float(np.median(ts))
