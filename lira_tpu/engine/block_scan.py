@@ -1232,19 +1232,39 @@ def blocked_search_stream(
     # probe_{i+1} goes out BEFORE the host blocks on batch i's union masks,
     # so while the host builds unions (~20 ms) and re-dispatches, the device
     # is running probe_{i+1} / the previous scan instead of idling
+    import os as _os
+    import time as _time
+
+    timing = _os.environ.get("LIRA_BLOCKED_TIMING") == "1"
+
+    def _mark(label, t0):
+        if timing:
+            print(f"[stream {label}] {1e3 * (_time.perf_counter() - t0):.0f}ms",
+                  flush=True)
+
     prev = None  # (handle, scan_out) of the batch whose results are unfetched
+    t0 = _time.perf_counter()
     h_cur = dispatch_probe(queries[starts[0] : starts[0] + batch_size])
+    _mark("probe_dispatch b0", t0)
     for i, s in enumerate(starts):
+        t0 = _time.perf_counter()
         h_next = (
             dispatch_probe(queries[starts[i + 1] : starts[i + 1] + batch_size])
             if i + 1 < len(starts) else None
         )
+        _mark(f"probe_dispatch b{i + 1}", t0)
+        t0 = _time.perf_counter()
         scan_out = dispatch_scan(h_cur)
+        _mark(f"union_sync+scan_dispatch b{i}", t0)
         if prev is not None:
+            t0 = _time.perf_counter()
             collect(*prev)  # device is already past it — pure D2H transfer
+            _mark(f"collect b{i - 1}", t0)
         prev = (h_cur, scan_out)
         h_cur = h_next
+    t0 = _time.perf_counter()
     collect(*prev)
+    _mark(f"collect b{len(starts) - 1}", t0)
     return (
         np.concatenate(out_scores),
         np.concatenate(out_ids),

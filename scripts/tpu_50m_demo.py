@@ -333,6 +333,34 @@ def main():
           f"QPS={len(big) / dt:.0f} ({1e6 * dt / len(big):.0f} us/q sustained)",
           flush=True)
 
+    if os.environ.get("LIRA_STREAM_DIAG") == "1":
+        # VERDICT r4 weak 5: at 50M the stream measured ~15% SLOWER than
+        # batch-sync (an inversion new at this scale).  Same query set,
+        # same batch size, three interleaved A/B reps, then one phase-marked
+        # stream pass to localize where the pipelined path loses.
+        def sync_pass():
+            for s in range(0, len(big), 4096):
+                eng.search(big[s : s + 4096], thr, k)
+
+        sync_pass()  # warm the per-batch 4096 shape
+        t_sync, t_stream = [], []
+        for rep in range(3):
+            t0 = time.time()
+            sync_pass()
+            t_sync.append(time.time() - t0)
+            t0 = time.time()
+            eng.search_stream(big, thr, k, batch_size=4096)
+            t_stream.append(time.time() - t0)
+        print(f"[diag] sync   QPS per rep: "
+              f"{[f'{len(big) / t:.0f}' for t in t_sync]} "
+              f"(median {len(big) / np.median(t_sync):.0f})", flush=True)
+        print(f"[diag] stream QPS per rep: "
+              f"{[f'{len(big) / t:.0f}' for t in t_stream]} "
+              f"(median {len(big) / np.median(t_stream):.0f})", flush=True)
+        os.environ["LIRA_BLOCKED_TIMING"] = "1"
+        eng.search_stream(big, thr, k, batch_size=4096)
+        os.environ["LIRA_BLOCKED_TIMING"] = "0"
+
 
 if __name__ == "__main__":
     main()
