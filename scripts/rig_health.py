@@ -31,8 +31,15 @@ def main() -> int:
     dev = jax.devices()[0]
     out = {"device": str(dev), "load1": os.getloadavg()[0]}
 
-    x_h = np.ones((64, 1024, 1024), np.float32)  # 256 MB
-    jax.device_put(x_h[:1], dev).block_until_ready()  # warm the path
+    x_h = np.ones((16, 1024, 1024), np.float32)  # 64 MB
+    # warm BOTH directions on a small array first: the axon tunnel's cold
+    # d2h path is pathologically slow per byte (measured 90 s for the
+    # first 1 MB fetch of a process, then 35 MB/s warm) — timing the big
+    # array cold would hang the preamble for tens of minutes
+    w = jax.device_put(x_h[:1], dev)
+    w.block_until_ready()
+    _ = np.asarray(w)
+    del w
     t0 = time.perf_counter()
     x_d = jax.device_put(x_h, dev)
     x_d.block_until_ready()
@@ -52,11 +59,17 @@ def main() -> int:
     is_tpu = dev.platform != "cpu"
     degraded = []
     if is_tpu:
-        if out["h2d_gbps"] < 1.0:
+        # this environment's axon tunnel measures ~0.08 GB/s h2d and
+        # ~0.035 GB/s d2h HEALTHY (round-2 numbers, re-measured round 5);
+        # the thresholds catch the 10x contention pathologies of round 4,
+        # not the tunnel's own (slow) steady state
+        if out["h2d_gbps"] < 0.02:
             degraded.append("h2d")
-        if out["d2h_gbps"] < 0.5:
+        if out["d2h_gbps"] < 0.008:
             degraded.append("d2h")
-        if out["mxu_ms"] > 20.0:
+        # one timed call pays the tunnel's ~30 ms dispatch round trip on
+        # top of the ~1 ms matmul; healthy measures ~25 ms here
+        if out["mxu_ms"] > 200.0:
             degraded.append("mxu")
     if out["load1"] > 1.5:
         degraded.append("load")
