@@ -143,11 +143,24 @@ def _prepare_from_mask(probed: jax.Array, top1: jax.Array, qb: int,
 
 
 def _union_groupmin_kernel(
-    sref, q_ref, chunk_ref, *rest, metric, precision, sel_rows=128,
+    sref, ulref, q_ref, chunk_ref, *rest, metric, precision, sel_rows=128,
     quantized=False,
 ):
     """One (block, union-supertile) step: (S·128, d) × (qb, d)ᵀ on the MXU →
     per-group min over SUBLANES, emitted (1, S·128/sel_rows, qb).
+
+    Union slots past a block's TRUE union length (`ulref`, scalar-prefetched
+    per block) are pad-to-pow2 entries: the kernel SKIPS their dot entirely
+    (pl.when) and emits _BIG minima — the selection phase already masks pad
+    tiles via the bucket map, so this changes no result, only the cost.
+    Under trained (skewed) probing the pad share is the whole story of the
+    round-4 "probe skew" QPS gap: locality grouping shrank the MEAN true
+    union 36% but the padded width U is set by the WORST block, so every
+    block still paid U supertiles of MXU work (logs/skew_profile_r5.log:
+    trained-tour true mean 693 vs padded U 1024 at 1M×128).  Pad slots also
+    repeat the block's LAST REAL supertile index (build_block_unions), so
+    the pipelined input DMA for consecutive pad steps is elided (same block
+    index → Pallas skips the copy).
 
     The dot is computed transposed on purpose: with a (qb, S·128) score
     block the per-tile min reduces over the LANE dimension and the result
@@ -191,40 +204,50 @@ def _union_groupmin_kernel(
     error exactly as before)."""
     if quantized:
         t_ref, s2_ref, out_ref = rest
-        doti = jax.lax.dot_general(
-            chunk_ref[...], q_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (S*128, qb) exact: |dot| ≤ 127²·d < 2^24 at d ≤ 1024
-        scores = -t_ref[0, 0] * doti.astype(jnp.float32)
-        if metric != "inner_product":
-            xf = chunk_ref[...].astype(jnp.float32)
-            norms = jax.lax.dot_general(
-                xf * xf, s2_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (S*128, 1) = Σ_d s_d²·x8² on the MXU
-            scores = norms + scores
     else:
         (out_ref,) = rest
-        dot = jax.lax.dot_general(
-            chunk_ref[...], q_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        )  # (S*128, qb)
-        if metric == "inner_product":
-            scores = -dot
+    live = pl.program_id(1) < ulref[pl.program_id(0)]
+
+    @pl.when(live)
+    def _screen():
+        if quantized:
+            doti = jax.lax.dot_general(
+                chunk_ref[...], q_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (S*128, qb) exact: |dot| ≤ 127²·d < 2^24 at d ≤ 1024
+            scores = -t_ref[0, 0] * doti.astype(jnp.float32)
+            if metric != "inner_product":
+                xf = chunk_ref[...].astype(jnp.float32)
+                norms = jax.lax.dot_general(
+                    xf * xf, s2_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (S*128, 1) = Σ_d s_d²·x8² on the MXU
+                scores = norms + scores
         else:
-            xf = chunk_ref[...].astype(jnp.float32)
-            norms = jnp.sum(xf * xf, axis=1, keepdims=True)  # (S·128, 1) f32
-            scores = norms - 2.0 * dot
-    n_groups = S_TILES * 128 // sel_rows
-    mins = [
-        scores[g * sel_rows : (g + 1) * sel_rows, :].min(axis=0, keepdims=True)
-        for g in range(n_groups)
-    ]
-    out_ref[...] = jnp.concatenate(mins, axis=0)[None]
+            dot = jax.lax.dot_general(
+                chunk_ref[...], q_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # (S*128, qb)
+            if metric == "inner_product":
+                scores = -dot
+            else:
+                xf = chunk_ref[...].astype(jnp.float32)
+                norms = jnp.sum(xf * xf, axis=1, keepdims=True)  # (S·128, 1) f32
+                scores = norms - 2.0 * dot
+        n_groups = S_TILES * 128 // sel_rows
+        mins = [
+            scores[g * sel_rows : (g + 1) * sel_rows, :].min(axis=0, keepdims=True)
+            for g in range(n_groups)
+        ]
+        out_ref[...] = jnp.concatenate(mins, axis=0)[None]
+
+    @pl.when(jnp.logical_not(live))
+    def _pad():
+        out_ref[...] = jnp.full(out_ref.shape, _BIG, jnp.float32)
 
 
 def _dedup_topk_dev(ids: jax.Array, neg: jax.Array, k: int):
@@ -257,8 +280,11 @@ def _dedup_topk_dev(ids: jax.Array, neg: jax.Array, k: int):
 def _screen_rescore(
     q_perm: jax.Array,  # (B_pad, d) f32, already permuted to block order
     probed_p: jax.Array,  # (n_blocks, qb, n_bkt) bool, permuted
-    supers: jax.Array,  # (n_blocks, U) i32 supertile indices (0 at padding)
+    supers: jax.Array,  # (n_blocks, U) i32 supertile indices (pad slots
+    # repeat the block's last real supertile so their input DMA is elided)
     tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
+    ulen: jax.Array,  # (n_blocks,) i32 TRUE union supertiles per block —
+    # the kernel skips the dot for slots >= ulen (see _union_groupmin_kernel)
     corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
     bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
     corpus_flat_f32: jax.Array | None,  # rescore corpus; None = same buffer
@@ -335,35 +361,37 @@ def _screen_rescore(
     )
     q_rows = q_r1.reshape(n_blocks * qb, d)
 
-    def screen_chunk(sup_c, s: int, e: int):
+    def screen_chunk(sup_c, ulen_c, s: int, e: int):
         u_w = sup_c.shape[1]  # supertiles in this call (≤ U when U-chunked)
         in_specs = [
             pl.BlockSpec(
-                (qb, d), lambda i, u, sref, s=s: (s + i, 0), memory_space=pltpu.VMEM
+                (qb, d), lambda i, u, sref, ulref, s=s: (s + i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (S_TILES * 128, d), lambda i, u, sref: (sref[i, u], 0),
+                (S_TILES * 128, d), lambda i, u, sref, ulref: (sref[i, u], 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
-        operands = [sup_c, q_rows, corpus_flat]
+        operands = [sup_c, ulen_c, q_rows, corpus_flat]
         if quantized:
             in_specs.append(
-                pl.BlockSpec((1, 1), lambda i, u, sref: (0, 0),
+                pl.BlockSpec((1, 1), lambda i, u, sref, ulref: (0, 0),
                              memory_space=pltpu.SMEM)
             )
             operands.append(t_eff)
             in_specs.append(
-                pl.BlockSpec((d, 1), lambda i, u, sref: (0, 0),
+                pl.BlockSpec((d, 1), lambda i, u, sref, ulref: (0, 0),
                              memory_space=pltpu.VMEM)
             )
             operands.append(s2_col)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(e - s, u_w),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, SG, qb), lambda i, u, sref: (i, u, 0), memory_space=pltpu.VMEM
+                (1, SG, qb), lambda i, u, sref, ulref: (i, u, 0),
+                memory_space=pltpu.VMEM,
             ),
         )
         return pl.pallas_call(
@@ -499,13 +527,14 @@ def _screen_rescore(
     q_blocks = q_r2.reshape(n_blocks, qb, d)  # round-2 query (q·s for int8 capacity)
     neg_parts, ids_parts = [], []
     prev = None
+    ulen = ulen.astype(jnp.int32)
     if u_chunk >= U:
         for s in range(0, n_blocks, rows_per_call):
             e = min(s + rows_per_call, n_blocks)
             sup_c = supers[s:e]
             if prev is not None:
                 sup_c, prev = jax.lax.optimization_barrier((sup_c, prev))
-            gmin_c = screen_chunk(sup_c, s, e)
+            gmin_c = screen_chunk(sup_c, ulen[s:e], s, e)
             neg_c, ids_c = jax.lax.map(
                 per_block, (gmin_c, probed_p[s:e], tb[s:e], sup_c, q_blocks[s:e])
             )
@@ -520,9 +549,12 @@ def _screen_rescore(
             for u0 in range(0, U, u_chunk):
                 u1 = min(u0 + u_chunk, U)
                 sup_c = supers[b : b + 1, u0:u1]
+                # live slots of this U-slice: clip the block's true length
+                # into [u0, u1) so the kernel's skip stays per-slice exact
+                ulen_c = jnp.clip(ulen[b : b + 1] - u0, 0, u1 - u0)
                 if prev is not None:
                     sup_c, prev = jax.lax.optimization_barrier((sup_c, prev))
-                gmin_c = screen_chunk(sup_c, b, b + 1)[0]  # (Uc·SG, qb)
+                gmin_c = screen_chunk(sup_c, ulen_c, b, b + 1)[0]  # (Uc·SG, qb)
                 vals_c, ggrp_c = select_slice(
                     gmin_c, pen_b, tb[b, u0 * SG : u1 * SG], supers[b], u0
                 )
@@ -550,8 +582,10 @@ def _scan_all(
     q_pad: jax.Array,  # (B_pad, d) f32
     probed: jax.Array,  # (B_pad, n_bkt) bool (un-permuted)
     perm: jax.Array,  # (B_pad,) i32
-    supers: jax.Array,  # (n_blocks, U) i32 supertile indices (0 at padding)
+    supers: jax.Array,  # (n_blocks, U) i32 supertile indices (pad slots
+    # repeat the block's last real supertile — see build_block_unions)
     tb: jax.Array,  # (n_blocks, U*S) i32 bucket per union tile (-1 pad)
+    ulen: jax.Array,  # (n_blocks,) i32 true union supertiles per block
     corpus_flat: jax.Array,  # (n_super*S*128, d) round-1 dtype
     bsq: jax.Array,  # (n_super*S, 128) f32 norms/penalties
     corpus_flat_f32: jax.Array | None,  # rescore corpus (None = corpus_flat;
@@ -577,8 +611,8 @@ def _scan_all(
     q_perm = q_pad[perm]
     probed_p = probed[perm].reshape(n_blocks, qb, -1)
     neg, ids, k_loc = _screen_rescore(
-        q_perm, probed_p, supers, tb, corpus_flat, bsq, corpus_flat_f32, tiles_ids,
-        tile_pad_count,
+        q_perm, probed_p, supers, tb, ulen, corpus_flat, bsq, corpus_flat_f32,
+        tiles_ids, tile_pad_count,
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
         interpret=interpret, sub=sub, screen_only=screen_only, sel_rows=sel_rows,
         dim_scale=dim_scale,
@@ -918,8 +952,13 @@ def build_block_unions(
 ):
     """Union masks → per-block supertile lists + per-tile bucket maps.
 
-    Returns (supers (n_blocks, U) i32, tb (n_blocks, U*S) i32) with U the
-    pow2 ceiling of the largest block union (compile-count stays log)."""
+    Returns (supers (n_blocks, U) i32, tb (n_blocks, U*S) i32,
+    ulen (n_blocks,) i32) with U the pow2 ceiling of the largest block
+    union (compile-count stays log) and ulen each block's TRUE union
+    length — the screen kernel skips slots past it, so the padded width
+    costs (almost) nothing (see _union_groupmin_kernel).  Pad slots
+    repeat the block's LAST real supertile: identical consecutive block
+    indices let the Pallas pipeline elide their input DMA."""
     n_blocks = union_mask.shape[0]
     per_block = []
     for i in range(n_blocks):
@@ -936,13 +975,16 @@ def build_block_unions(
     U = max(1, _pow2ceil(max(len(s) for s in per_block)))
     supers = np.zeros((n_blocks, U), np.int32)
     tb = np.full((n_blocks, U * S_TILES), -1, np.int32)
+    ulen = np.zeros(n_blocks, np.int32)
     for i, s in enumerate(per_block):
         if not len(s):
             continue
         supers[i, : len(s)] = s
+        supers[i, len(s):] = s[-1]  # pad = last real supertile (DMA elision)
+        ulen[i] = len(s)
         real = (s[:, None] * S_TILES + np.arange(S_TILES)[None, :]).reshape(-1)
         tb[i, : len(real)] = tile_bucket[real]
-    return supers, tb
+    return supers, tb, ulen
 
 
 def _resolve_margin(margin, scan_dtype, sel_rows: int) -> int:
@@ -1128,7 +1170,7 @@ def blocked_search(
     ndis = np.asarray(h["ndis"])[:B]
     mark("probe+union_sync")
 
-    supers, tb = build_block_unions(
+    supers, tb, ulen = build_block_unions(
         union, engine.tile_start, engine.tiles_per_bucket, state.tile_bucket
     )
     mark("host_unions")
@@ -1136,6 +1178,7 @@ def blocked_search(
     sub = _round2_sub(kg, sel_rows, d, qb)
     scores, ids = _scan_all(
         h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
+        jnp.asarray(ulen),
         state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
         state.tile_pad_count,
         metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
@@ -1205,12 +1248,13 @@ def blocked_search_stream(
         """Host union build + launch the batch's scan program (async).
         Blocks only on the (tiny) union mask transfer."""
         union = np.asarray(h["union"])
-        supers, tb = build_block_unions(
+        supers, tb, ulen = build_block_unions(
             union, engine.tile_start, engine.tiles_per_bucket, state.tile_bucket
         )
         sub = _round2_sub(kg, sel_rows, d, h["qb"])
         return _scan_all(
             h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
+            jnp.asarray(ulen),
             state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
             state.tile_pad_count,
             metric=engine.metric, kg=kg, fetch_k=fetch_k, k=k, qb=h["qb"],

@@ -70,7 +70,8 @@ def _ici_merge(neg, out_ids, k_loc, fetch_k, k, axis, perm):
 
 
 def _local_blocked_scan_pallas(
-    q, probed, perm, supers, tb, corpus, bsq, corpus_f32, ids, tpc, dim_scale,
+    q, probed, perm, supers, tb, ulen, corpus, bsq, corpus_f32, ids, tpc,
+    dim_scale,
     *, fetch_k: int, kg: int, k: int, metric: str, axis: str,
     qb: int, precision: str, interpret: bool, sub: int, sel_rows: int = 128,
 ):
@@ -81,8 +82,10 @@ def _local_blocked_scan_pallas(
     q/probed/perm: (B_pad, d) f32 / (B_pad, n_bkt) bool / (B_pad,) i32,
     replicated;
     supers: (1, n_blocks, U) LOCAL supertile ids of this device's per-block
-    unions (0 pad, masked via tb);
+    unions (pad slots repeat the last real supertile, masked via tb);
     tb: (1, n_blocks, U*S) bucket per local union tile (-1 pad);
+    ulen: (1, n_blocks) i32 true union supertiles per (device, block) —
+    the shared kernel skips pad slots (block_scan._union_groupmin_kernel);
     corpus/corpus_f32: (1, t_pad, 128, d) local tile tables (round-1 dtype /
     f32), t_pad a multiple of S; bsq/ids: (1, t_pad, 128);
     tpc: (1, t_pad) i32 per-tile pad-row counts (all-pad selection-group
@@ -90,7 +93,7 @@ def _local_blocked_scan_pallas(
     dim_scale: (d,) f32 replicated — per-dim int8 quantization scale of the
     round-1 corpus (all-ones and unused unless corpus is int8).
     Returns (scores (B_pad, k), ids (B_pad, k)) in caller order."""
-    supers, tb = supers[0], tb[0]
+    supers, tb, ulen = supers[0], tb[0], ulen[0]
     B, d = q.shape
     corpus = corpus[0].reshape(-1, d)  # (t_pad*128, d) flat, supertile-aligned
     # corpus_f32 None = same buffer as corpus (f32 / capacity modes): the
@@ -103,7 +106,7 @@ def _local_blocked_scan_pallas(
     q_perm = q[perm]
     probed_p = probed[perm].reshape(n_blocks, qb, -1)
     neg, oid, k_loc = _screen_rescore(
-        q_perm, probed_p, supers, tb, corpus, bsq, corpus_f32, ids, tpc[0],
+        q_perm, probed_p, supers, tb, ulen, corpus, bsq, corpus_f32, ids, tpc[0],
         metric=metric, kg=kg, fetch_k=fetch_k, qb=qb, precision=precision,
         interpret=interpret, sub=sub, sel_rows=sel_rows, dim_scale=dim_scale,
     )
@@ -511,15 +514,18 @@ class ShardedQueryEngine:
                     # shared screen/rescore table (f32 / capacity): ONE
                     # program parameter — see _local_blocked_scan_pallas
                     inner = body
-                    body = (lambda q, p, pm, su, tb, c, sq, ids, tpc, ds,
+                    body = (lambda q, p, pm, su, tb, ul, c, sq, ids, tpc, ds,
                             _inner=inner:
-                            _inner(q, p, pm, su, tb, c, sq, None, ids, tpc, ds))
+                            _inner(q, p, pm, su, tb, ul, c, sq, None, ids, tpc,
+                                   ds))
                     in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
+                                P(self.axis),  # ulen
                                 P(self.axis), P(self.axis), P(self.axis),
                                 P(self.axis),  # tile_pads
                                 P())  # dim_scale
                 else:
                     in_specs = (P(), P(), P(), P(self.axis), P(self.axis),
+                                P(self.axis),  # ulen
                                 P(self.axis), P(self.axis), P(self.axis),
                                 P(self.axis), P(self.axis),  # tile_pads
                                 P())  # trailing P(): dim_scale
@@ -587,9 +593,12 @@ class ShardedQueryEngine:
         lists + per-tile bucket maps for the Pallas path (single-chip
         build_block_unions contract, per device).
 
-        Returns (supers (n_dev, n_blocks, U_s) i32 zero-padded,
-        tb (n_dev, n_blocks, U_s*S) i32 −1-padded).  Vectorized via a
-        composite-key unique over all (device, block, supertile) triples."""
+        Returns (supers (n_dev, n_blocks, U_s) i32 — pad slots repeat the
+        row's last real supertile (input-DMA elision in the shared kernel),
+        tb (n_dev, n_blocks, U_s*S) i32 −1-padded,
+        ulen (n_dev, n_blocks) i32 true union lengths — the kernel skips
+        slots past them).  Vectorized via a composite-key unique over all
+        (device, block, supertile) triples."""
         n_dev, n_blocks, _ = sel.shape
         n_sup = self.t_pad // S_TILES
         dmask = sel >= 0
@@ -604,11 +613,20 @@ class ShardedQueryEngine:
         col = np.arange(len(ucomp), dtype=np.int64) - row_start[urow]
         supers = np.zeros((n_dev * n_blocks, U_s), np.int32)
         supers[urow, col] = usup
+        # pad slots repeat the row's last real supertile (rows with an empty
+        # union keep 0 — their ulen of 0 skips every slot anyway)
+        nz = row_counts > 0
+        last = np.zeros(n_dev * n_blocks, np.int32)
+        last[nz] = supers[nz, row_counts[nz] - 1]
+        pad_mask = np.arange(U_s)[None, :] >= row_counts[:, None]
+        supers = np.where(pad_mask & nz[:, None], last[:, None], supers)
         tb = np.full((n_dev * n_blocks, U_s * S_TILES), -1, np.int32)
         ud = (urow // n_blocks).astype(np.int64)
         for j in range(S_TILES):
             tb[urow, col * S_TILES + j] = self.tile_bucket[ud, usup * S_TILES + j]
-        return supers.reshape(n_dev, n_blocks, U_s), tb.reshape(n_dev, n_blocks, U_s * S_TILES)
+        return (supers.reshape(n_dev, n_blocks, U_s),
+                tb.reshape(n_dev, n_blocks, U_s * S_TILES),
+                row_counts.astype(np.int32).reshape(n_dev, n_blocks))
 
     def _dispatch_probe(self, queries: np.ndarray, threshold: float) -> dict:
         """Upload one batch + launch its probe program (async where the MLP
@@ -666,7 +684,7 @@ class ShardedQueryEngine:
         kg = fetch_k + self.margin
         shard = NamedSharding(self.mesh, P(self.axis))
         if self.local_impl == "pallas":
-            supers, tb_s = self._super_unions(sel)
+            supers, tb_s, ulen = self._super_unions(sel)
             fn = self._scan_fn(fetch_k, kg, k_out, supers.shape[2], chunk, h["qb"])
             tables = (
                 (self.corpus_r1, self.corpus_sq)  # shared screen/rescore table
@@ -677,6 +695,7 @@ class ShardedQueryEngine:
                 h["q"], h["probed"], h["perm"],
                 jax.device_put(jnp.asarray(supers), shard),
                 jax.device_put(jnp.asarray(tb_s), shard),
+                jax.device_put(jnp.asarray(ulen), shard),
                 *tables, self.corpus_ids, self.tile_pads, self.dim_scale,
             )
         fn = self._scan_fn(fetch_k, kg, k_out, U, chunk, h["qb"])

@@ -111,22 +111,23 @@ def main():
             )
             union_h = np.asarray(union)
             t0 = time.perf_counter()
-            supers, tb = build_block_unions(
+            supers, tb, ulen = build_block_unions(
                 union_h, eng.tile_start, eng.tiles_per_bucket, state.tile_bucket
             )
             t_unions = time.perf_counter() - t0
             s_dev, tb_dev = jnp.asarray(supers), jnp.asarray(tb)
+            ul_dev = jnp.asarray(ulen)
             common = dict(
                 metric=eng.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
                 precision=precision, interpret=False, sel_rows=sel_rows,
             )
             t_screen, _ = timed(
-                _scan_all, q_dev, probed, perm, s_dev, tb_dev,
+                _scan_all, q_dev, probed, perm, s_dev, tb_dev, ul_dev,
                 state.corpus_flat, state.bsq, state.rescore_arg,
                 state.tiles_ids, state.tile_pad_count, screen_only=True, **common,
             )
             t_full, _ = timed(
-                _scan_all, q_dev, probed, perm, s_dev, tb_dev,
+                _scan_all, q_dev, probed, perm, s_dev, tb_dev, ul_dev,
                 state.corpus_flat, state.bsq, state.rescore_arg,
                 state.tiles_ids, state.tile_pad_count, **common,
             )

@@ -142,7 +142,7 @@ def main():
         )
         union_h = np.asarray(union)
         t0 = time.perf_counter()
-        supers, tb = build_block_unions(
+        supers, tb, ulen = build_block_unions(
             union_h, eng.tile_start, eng.tiles_per_bucket, state.tile_bucket
         )
         t_unions = time.perf_counter() - t0
@@ -160,7 +160,8 @@ def main():
               f"unions {1e3 * t_unions:.0f}ms", flush=True)
         handles[name] = dict(
             probed=probed, perm=perm, supers=jnp.asarray(supers),
-            tb=jnp.asarray(tb), thr=thr, engine=e_m, rank=rk,
+            tb=jnp.asarray(tb), ulen=jnp.asarray(ulen), thr=thr, engine=e_m,
+            rank=rk,
         )
 
     common = dict(metric=eng.metric, kg=kg, fetch_k=fetch_k, k=k, qb=qb,
@@ -170,12 +171,12 @@ def main():
     for name, h in handles.items():
         t_screen, _ = timed(
             _scan_all, q_dev, h["probed"], h["perm"], h["supers"], h["tb"],
-            state.corpus_flat, state.bsq, state.rescore_arg,
+            h["ulen"], state.corpus_flat, state.bsq, state.rescore_arg,
             state.tiles_ids, state.tile_pad_count, screen_only=True, **common,
         )
         t_full, _ = timed(
             _scan_all, q_dev, h["probed"], h["perm"], h["supers"], h["tb"],
-            state.corpus_flat, state.bsq, state.rescore_arg,
+            h["ulen"], state.corpus_flat, state.bsq, state.rescore_arg,
             state.tiles_ids, state.tile_pad_count, **common,
         )
         print(f"[{name}] screen {1e3 * t_screen:.0f}ms "

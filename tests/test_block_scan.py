@@ -585,3 +585,80 @@ def test_empty_batch_and_gt_padding(rng):
     gt = np.array([[3, -1, -1]])
     rec = e_blk.recall_against(res, gt, 3)
     assert rec[0] == pytest.approx(1 / 3)  # only the real id counts
+
+
+@pytest.mark.parametrize("scan_dtype", ["float32", "bfloat16", "int8"])
+def test_heterogeneous_union_lengths_match_oracle(rng, scan_dtype):
+    """Pad-skip contract (_union_groupmin_kernel ulen predication): with
+    many small query blocks whose TRUE union lengths differ wildly — some
+    near the padded pow2 width U, some a single supertile — the blocked
+    engine must stay identical to the per-query oracle.  An off-by-one in
+    the kernel's live predicate (skipping a REAL slot, or scoring a pad as
+    live against an unmasked garbage supertile) flips neighbor sets here."""
+    import jax
+    import jax.numpy as jnp
+
+    from lira_tpu.engine.block_scan import build_block_unions
+    from lira_tpu.engine.serve import QueryEngine
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.models.probing_mlp import init_params
+    from lira_tpu.ops.distance import l2_to_centroids
+    from lira_tpu.partition.assign import build_bucket_layout
+    from lira_tpu.partition.kmeans import kmeans_fit
+
+    # zipf bucket sizes: one giant bucket (20 tiles) + a tail of tiny ones,
+    # so a block probing the giant unions many supertiles and one probing
+    # only tiny buckets unions a single supertile
+    n, dim, n_bkt = 6400, 16, 9
+    sizes = np.array([2600, 1800, 900, 500, 300, 150, 80, 50, 20])
+    assert sizes.sum() == n
+    assign = np.repeat(np.arange(n_bkt), sizes).astype(np.int32)
+    x_d = rng.normal(size=(n, dim)).astype(np.float32)
+    x_q = rng.normal(size=(64, dim)).astype(np.float32)
+    layout = build_bucket_layout(assign.reshape(-1, 1), n_bkt, tile=128)
+    km = kmeans_fit(x_d, n_bkt, niter=3, seed=0)
+    raw = np.asarray(l2_to_centroids(jnp.asarray(x_d), jnp.asarray(km.centroids)))
+    scaler = StandardScaler().fit(raw)
+    params = init_params(jax.random.PRNGKey(0), n_bkt, dim)
+    # deterministic pluggable prober (both engines share it): queries whose
+    # top bucket is tiny probe ONLY it (argmax fallback), the rest probe a
+    # 4-bucket run that includes the giants — per-block unions then span
+    # 1 supertile .. the full corpus
+    OUT = np.full((64, n_bkt), 0.05, np.float32)
+    for i in range(64):
+        p = i % n_bkt
+        OUT[i, p] = 0.9
+        if p < 4:
+            OUT[i, p + 1 : p + 4] = 0.6
+    prober = lambda qs: OUT[: len(qs)]
+    e_ref = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                        scan_impl="xla", prober=prober)
+    e_blk = QueryEngine(x_d, layout, km.centroids, scaler, params,
+                        scan_impl="blocked", scan_dtype=scan_dtype, block_q=8,
+                        prober=prober)
+
+    for thr in (0.0, 0.45, 0.7):
+        r1 = e_ref.search(x_q, thr, k=5)
+        r2 = e_blk.search(x_q, thr, k=5)
+        np.testing.assert_array_equal(r1.ndis, r2.ndis)
+        for i in range(len(x_q)):
+            assert set(r1.ids[i][r1.ids[i] >= 0]) == set(
+                r2.ids[i][r2.ids[i] >= 0]
+            ), (scan_dtype, thr, i)
+
+    # the scenario must actually exercise heterogeneity: rebuild the unions
+    # the engine served and assert the true lengths differ across blocks
+    from lira_tpu.engine import block_scan as bs
+
+    state = e_blk._block_state
+    hb = bs._probe_batch(state, e_blk, x_q, 0.45, 8)
+    union = np.asarray(hb["union"])
+    supers, tb, ulen = build_block_unions(
+        union, e_blk.tile_start, e_blk.tiles_per_bucket, state.tile_bucket
+    )
+    assert ulen.min() < ulen.max(), "test corpus produced uniform unions"
+    assert supers.shape[1] >= ulen.max()
+    # pad slots repeat the last real supertile
+    for i in range(len(ulen)):
+        if ulen[i] and ulen[i] < supers.shape[1]:
+            assert (supers[i, ulen[i]:] == supers[i, ulen[i] - 1]).all()

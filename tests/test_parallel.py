@@ -418,7 +418,7 @@ def test_sharded_union_build_is_fast_at_scale():
     union = rng.random((2048, layout.n_bkt)) < 0.3
     t0 = _t.perf_counter()
     sel, tb, U, chunk = eng._block_unions(union)
-    supers, tbs = eng._super_unions(sel)
+    supers, tbs, ulen = eng._super_unions(sel)
     dt = _t.perf_counter() - t0
     # generous bound: the old double loop took minutes at this shape, the
     # vectorized build takes ~20 ms — 20 s still catches an O(n_dev*n_blocks)
@@ -435,6 +435,10 @@ def test_sharded_union_build_is_fast_at_scale():
     assert sorted(got.tolist()) == sorted(want)
     ssup = supers[d, i][np.concatenate([[True], np.diff(supers[d, i]) != 0])]
     assert set(ssup.tolist()) >= set(np.unique(np.array(want) // 8).tolist())
+    # true union length + last-real padding (the kernel's pad-skip contract)
+    n_true = len(set(np.array(want) // 8))
+    assert ulen[d, i] == n_true
+    assert (supers[d, i][n_true:] == supers[d, i][n_true - 1]).all()
 
 
 @needs_8
