@@ -1264,11 +1264,21 @@ def blocked_search_stream(
 
     out_scores, out_ids, out_np, out_nd = [], [], [], []
 
+    def start_fetch(scan_out):
+        """Kick off the result D2H as soon as the scan is dispatched, so the
+        transfer overlaps the NEXT batch's device work instead of starting
+        only when collect() blocks on it.  Fetch the FULL padded arrays —
+        slicing [:B] on device would allocate a fresh buffer whose transfer
+        cannot start until collect; the ≤qb pad rows cost less than the
+        serialization (this rig's d2h measures ~35 MB/s)."""
+        for a in scan_out:
+            a.copy_to_host_async()
+
     def collect(h, scan_out):
         B = h["B"]
         scores, ids = scan_out
-        out_scores.append(np.asarray(scores[:B]))
-        out_ids.append(np.asarray(ids[:B]))
+        out_scores.append(np.asarray(scores)[:B])
+        out_ids.append(np.asarray(ids)[:B])
         out_np.append(np.asarray(h["nprobe"])[:B].astype(np.int64))
         out_nd.append(np.asarray(h["ndis"])[:B].astype(np.int64))
 
@@ -1299,6 +1309,7 @@ def blocked_search_stream(
         _mark(f"probe_dispatch b{i + 1}", t0)
         t0 = _time.perf_counter()
         scan_out = dispatch_scan(h_cur)
+        start_fetch(scan_out)
         _mark(f"union_sync+scan_dispatch b{i}", t0)
         if prev is not None:
             t0 = _time.perf_counter()

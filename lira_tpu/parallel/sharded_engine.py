@@ -710,9 +710,12 @@ class ShardedQueryEngine:
     def _collect(h: dict, scan_out) -> tuple:
         sc, ids = scan_out
         B = h["B"]
+        # full-array fetch + host slice: the async D2H started at dispatch
+        # covers these buffers; a device-side [:B] slice would be a fresh
+        # buffer whose transfer couldn't start until here
         return (
-            np.asarray(sc[:B]),
-            np.asarray(ids[:B]),
+            np.asarray(sc)[:B],
+            np.asarray(ids)[:B],
             np.asarray(h["nprobe"])[:B].astype(np.int64),
             np.asarray(h["ndis"])[:B].astype(np.int64),
         )
@@ -766,6 +769,8 @@ class ShardedQueryEngine:
                 if i + 1 < len(starts) else None
             )
             scan_out = self._dispatch_scan(h_cur, k)
+            for a in scan_out:  # start the result D2H under the next batch's
+                a.copy_to_host_async()  # device work (block_scan.start_fetch)
             if prev is not None:
                 outs.append(self._collect(*prev))
             prev = (h_cur, scan_out)
