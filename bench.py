@@ -83,7 +83,13 @@ def build_trained_index(n, d, n_bkt, k, batch, n_epoch):
 
     gen = dict(HARD_REGIME, n_base=n, n_query=batch, dim=d, k_gt=k,
                compute_gt=False, intrinsic_dim=min(HARD_REGIME["intrinsic_dim"], d))
-    cache = f"/tmp/bench_corpus_{n}_{d}_{batch}_{hard_regime_sig()}.npz"
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir,
+                         f"bench_corpus_{n}_{d}_{batch}_{hard_regime_sig()}.npz")
+    legacy = f"/tmp/bench_corpus_{n}_{d}_{batch}_{hard_regime_sig()}.npz"
+    if not os.path.exists(cache) and os.path.exists(legacy):
+        cache = legacy
     if os.path.exists(cache):
         f = np.load(cache)
         x_d, x_q = f["x_d"], f["x_q"]
@@ -97,6 +103,35 @@ def build_trained_index(n, d, n_bkt, k, batch, n_epoch):
         except OSError:
             pass
         log(f"hard-regime corpus ready ({time.perf_counter() - t0:.1f}s)")
+
+    # The learned layout + trained model are deterministic given the corpus
+    # signature and the hyperparameters below, and cost 15-25 min of the one
+    # host vCPU to rebuild — cache them on the repo disk (survives the /tmp
+    # wipe of a VM restart) so the measurement chain's steps share one build.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ix_dir = os.path.join(repo, ".cache")
+    os.makedirs(ix_dir, exist_ok=True)
+    ix_cache = os.path.join(
+        ix_dir, f"bench_index_{n}_{d}_{n_bkt}_{k}_{batch}_{n_epoch}_{hard_regime_sig()}.npz")
+    from lira_tpu.labels.scaler import StandardScaler
+    from lira_tpu.partition.kmeans import KMeans
+
+    if os.path.exists(ix_cache):
+        t0 = time.perf_counter()
+        f = np.load(ix_cache)
+        km = KMeans(centroids=f["centroids"], objective=f["objective"])
+        assign = f["assign"]
+        layout = build_bucket_layout(assign, n_bkt)
+        scaler = StandardScaler()
+        scaler.mean_, scaler.scale_ = f["sc_mean"], f["sc_scale"]
+        params = {}
+        for key in f.files:
+            if key.startswith("p__"):
+                _, layer, leaf = key.split("__")
+                params.setdefault(layer, {})[leaf] = jnp.asarray(f[key])
+        log(f"trained index from cache ({time.perf_counter() - t0:.1f}s)")
+        return dict(x_d=x_d, x_q=x_q, layout=layout, km=km, scaler=scaler,
+                    params=params, assign=assign)
 
     # real pipeline: learned partitions, trained probing model
     t0 = time.perf_counter()
@@ -118,6 +153,15 @@ def build_trained_index(n, d, n_bkt, k, batch, n_epoch):
     del dist, lab_dev
     params = state.params
     log(f"probing model trained {n_epoch} epochs ({time.perf_counter() - t0:.1f}s)")
+    try:
+        flat = {f"p__{layer}__{leaf}": np.asarray(v)
+                for layer, leaves in params.items() for leaf, v in leaves.items()}
+        np.savez(ix_cache + ".tmp.npz", centroids=km.centroids,
+                 objective=km.objective, assign=np.asarray(assign),
+                 sc_mean=scaler.mean_, sc_scale=scaler.scale_, **flat)
+        os.replace(ix_cache + ".tmp.npz", ix_cache)
+    except OSError:
+        pass
     return dict(x_d=x_d, x_q=x_q, layout=layout, km=km, scaler=scaler,
                 params=params, assign=assign)
 

@@ -25,22 +25,23 @@ def _export_screen(quantized: bool, sel_rows: int = 128):
 
     def prog(*operands):
         in_specs = [
-            pl.BlockSpec((qb, d), lambda i, u, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_TILES * 128, d), lambda i, u, s: (s[i, u], 0),
+            pl.BlockSpec((qb, d), lambda i, u, s, ul: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_TILES * 128, d), lambda i, u, s, ul: (s[i, u], 0),
                          memory_space=pltpu.VMEM),
         ]
         if quantized:
             in_specs.append(
-                pl.BlockSpec((1, 1), lambda i, u, s: (0, 0),
+                pl.BlockSpec((1, 1), lambda i, u, s, ul: (0, 0),
                              memory_space=pltpu.SMEM)
             )
             in_specs.append(
-                pl.BlockSpec((d, 1), lambda i, u, s: (0, 0),
+                pl.BlockSpec((d, 1), lambda i, u, s, ul: (0, 0),
                              memory_space=pltpu.VMEM)
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(1, U), in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, SG, qb), lambda i, u, s: (i, u, 0),
+            num_scalar_prefetch=2, grid=(1, U), in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, SG, qb), lambda i, u, s, ul: (i, u, 0),
                                    memory_space=pltpu.VMEM),
         )
         return pl.pallas_call(
@@ -52,6 +53,7 @@ def _export_screen(quantized: bool, sel_rows: int = 128):
 
     args = [
         jax.ShapeDtypeStruct((1, U), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),  # true union length per block
         jax.ShapeDtypeStruct((qb, d), dt),
         jax.ShapeDtypeStruct((U * S_TILES * 128, d), dt),
     ]
