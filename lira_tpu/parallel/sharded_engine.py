@@ -751,7 +751,14 @@ class ShardedQueryEngine:
         """Pipelined multi-batch search (QueryEngine.search_stream parity):
         batch i+1's probe program is dispatched before batch i's unions are
         fetched, hiding the per-batch host round trips + union build behind
-        device work.  Results are bit-identical to per-batch `search`."""
+        device work.  Results are bit-identical to per-batch `search`.
+
+        As in block_scan.blocked_search_stream, the next batch's probe
+        (including its host-blocking query H2D on a tunneled rig) runs on a
+        single worker thread so the upload overlaps the current batch's
+        union wait + scan instead of serializing with them."""
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
         queries = np.asarray(queries, np.float32)
         if len(queries) == 0:
@@ -759,23 +766,32 @@ class ShardedQueryEngine:
         starts = list(range(0, len(queries), batch_size))
         outs = []
         prev = None
-        h_cur = self._dispatch_probe(queries[starts[0] : starts[0] + batch_size],
-                                     threshold)
-        for i in range(len(starts)):
-            h_next = (
-                self._dispatch_probe(
-                    queries[starts[i + 1] : starts[i + 1] + batch_size], threshold
-                )
-                if i + 1 < len(starts) else None
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut_cur = pool.submit(
+                self._dispatch_probe,
+                queries[starts[0] : starts[0] + batch_size], threshold,
             )
-            scan_out = self._dispatch_scan(h_cur, k)
-            for a in scan_out:  # start the result D2H under the next batch's
-                a.copy_to_host_async()  # device work (block_scan.start_fetch)
-            if prev is not None:
-                outs.append(self._collect(*prev))
-            prev = (h_cur, scan_out)
-            h_cur = h_next
-        outs.append(self._collect(*prev))
+            for i in range(len(starts)):
+                fut_next = (
+                    pool.submit(
+                        self._dispatch_probe,
+                        queries[starts[i + 1] : starts[i + 1] + batch_size],
+                        threshold,
+                    )
+                    if i + 1 < len(starts) else None
+                )
+                h_cur = fut_cur.result()
+                scan_out = self._dispatch_scan(h_cur, k)
+                for a in scan_out:  # start the result D2H under the next
+                    a.copy_to_host_async()  # batch's device work
+                if prev is not None:
+                    outs.append(self._collect(*prev))
+                prev = (h_cur, scan_out)
+                fut_cur = fut_next
+            outs.append(self._collect(*prev))
+        finally:
+            pool.shutdown(wait=True)
         ids = np.concatenate([o[1] for o in outs])
         scores = np.concatenate([o[0] for o in outs])
         if not self.store_f32:

@@ -25,6 +25,16 @@ import numpy as np
 
 
 def main() -> int:
+    # Load settles on its own when a previous measurement just finished
+    # (the 1-min average lags the process exit) — wait for it, bounded,
+    # instead of refusing a healthy rig.  A genuinely contended rig stays
+    # loaded past the bound and is still refused.
+    t_wait = time.perf_counter()
+    while os.getloadavg()[0] > 1.5 and time.perf_counter() - t_wait < 540:
+        print(f"rig_health: load1={os.getloadavg()[0]:.2f}, settling "
+              f"({time.perf_counter() - t_wait:.0f}s)", flush=True)
+        time.sleep(30)
+
     import jax
     import jax.numpy as jnp
 

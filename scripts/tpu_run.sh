@@ -23,7 +23,7 @@ fi
 
 echo "--- $name start $(date) ---" | tee -a logs/tpu_queue.log
 # bound the preamble: a hung tunnel must fail fast, not wedge the chain
-timeout 600 python scripts/rig_health.py > "$log" 2>&1
+timeout 1200 python scripts/rig_health.py > "$log" 2>&1
 hrc=$?
 if [ $hrc -ne 0 ]; then
   echo "tpu_run: rig degraded, refusing $name (see $log)" | tee -a logs/tpu_queue.log
