@@ -61,7 +61,13 @@ def main():
     thr_head = float(np.quantile(out, 1.0 - 8 / n_bkt))
     thr_r95 = float(np.quantile(out, 1.0 - 20 / n_bkt))
 
-    qbs = [1024, 512, 256]
+    # host cost model from the cached trained index (STATUS r5): screen
+    # FLOPs ∝ Σ_blocks union·qb = 0.71x / 0.48x / 0.32x of qb=1024 at
+    # qb=512/256/128, while HBM bytes (∝ Σ union) rise 1.4x/1.9x/2.6x —
+    # the kernel's achieved 78-89 TFLOPS stays under the HBM-bound
+    # ceiling even at qb=128 (intensity = qb MACs/byte), so smaller
+    # blocks should win until per-block overheads bite
+    qbs = [1024, 512, 256, 128]
     points = [("headline", thr_head), ("recall95", thr_r95)]
 
     # warm every (qb, thr) program first so the interleaved reps are
