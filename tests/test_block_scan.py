@@ -662,3 +662,23 @@ def test_heterogeneous_union_lengths_match_oracle(rng, scan_dtype):
     for i in range(len(ulen)):
         if ulen[i] and ulen[i] < supers.shape[1]:
             assert (supers[i, ulen[i]:] == supers[i, ulen[i] - 1]).all()
+
+
+def test_screen_qb_cap_clamps_at_wide_dims():
+    """ADVICE r4: when the VMEM budget goes negative (f32 d>1280, bf16
+    d>1920, int8 d>2560) the cap must clamp to the 8 minimum, not return a
+    spuriously large pow2 from a negative int's bit_length."""
+    import jax.numpy as jnp
+
+    from lira_tpu.engine.block_scan import _screen_qb_cap
+
+    # production geometry keeps the measured-optimal 1024
+    assert _screen_qb_cap(128, jnp.bfloat16) >= 1024
+    assert _screen_qb_cap(128, jnp.int8) >= 1024
+    # negative-avail regime: minimum, never a blowup
+    assert _screen_qb_cap(1536, jnp.float32) == 8
+    assert _screen_qb_cap(2048, jnp.bfloat16) == 8
+    assert _screen_qb_cap(4096, jnp.int8) == 8
+    # wide-but-fitting dims return a sane intermediate pow2
+    cap_960 = _screen_qb_cap(960, jnp.bfloat16)
+    assert cap_960 in (128, 256, 512) and cap_960 >= 8
