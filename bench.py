@@ -339,6 +339,27 @@ def serving_bench():
                 "nprobe": round(float(r_t.nprobe.mean()), 2),
                 "dtype": best_dtype,
             }
+            # the block-size optimum moves with probe fan-out (the ~20-probe
+            # point measured 25% faster at block_q=512 than the headline's
+            # 1024 — logs/qb_sweep_r5.log); autotune IN-RUN at this
+            # operating point, like the margin calibration above.  The
+            # headline stays fixed at block_q=1024 for cross-round
+            # comparability; results are block_q-invariant.
+            try:
+                from lira_tpu.engine.calibrate import autotune_block_q
+
+                tune = autotune_block_q(eng, x_q, thr_t, k,
+                                        candidates=(1024, 512, 256), reps=3)
+                log(f"block_q autotune at recall095 point: "
+                    + ", ".join(f"qb={q}: {batch / s:.0f} QPS"
+                                for q, s in sorted(tune.medians.items(),
+                                                   reverse=True))
+                    + f" -> qb={tune.block_q}")
+                r095["qps"] = round(batch / tune.medians[tune.block_q], 1)
+                r095["block_q"] = tune.block_q
+            except Exception as exc:  # autotune must not kill the bench
+                log(f"block_q autotune failed ({type(exc).__name__}: {exc}); "
+                    "recall095 stays at the default block_q")
             log(f"recall>=0.95 point[{best_dtype}]: {r095}")
             break
     if r095 is None:

@@ -19,6 +19,7 @@ padded by a safety factor.  Typical use:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -97,4 +98,70 @@ def calibrate_block_margin(
     return MarginCalibration(
         margin=margin, zero_miss_margin=zero, miss_rates=miss_rates,
         ladder=tuple(int(m) for m in ladder),
+    )
+
+
+@dataclass
+class BlockQTuning:
+    block_q: int  # fastest measured candidate (median of interleaved reps)
+    medians: dict  # candidate block_q -> median seconds per search call
+    candidates: tuple  # the block sizes measured
+    reps: int  # timed repetitions per candidate
+
+
+def autotune_block_q(
+    engine,  # QueryEngine with scan_impl='blocked'
+    queries: np.ndarray,
+    threshold: float,
+    k: int,
+    candidates: tuple = (1024, 512, 256),
+    reps: int = 3,
+) -> BlockQTuning:
+    """Measure the fastest query-block size at ONE operating point.
+
+    The blocked scan's screen cost is Σ_blocks |union_b| · block_q FLOPs
+    against a per-block overhead (union build, gather, rescore dispatch)
+    that grows with the block COUNT — and because trained probes are
+    query-specific, the per-block union grows sub-additively with block_q,
+    so the optimum moves with the probe fan-out: on the round-5 trained
+    1M×128 index the ~8-probe headline point measured fastest at
+    block_q=1024 but the ~20-probe recall≥0.95 point ran 25% faster at
+    block_q=512 (logs/qb_sweep_r5.log).  No analytic model captures the
+    crossover reliably, so — like `calibrate_block_margin` — this measures
+    instead: warm each candidate once (one compiled program per block
+    shape, compile-cache persistent), then time `reps` interleaved
+    rotations and pick the median-fastest.  Results are block_q-invariant
+    (each query's probed buckets, and therefore its scanned rows, do not
+    depend on which block it lands in — identity pinned in
+    tests/test_calibrate.py), so this tunes speed only.
+
+    Leaves `engine.block_q` unchanged; callers assign the returned
+    `.block_q` when adopting it.  Re-run when the serving threshold (the
+    operating point) moves materially.
+    """
+    if engine.scan_impl != "blocked":
+        raise ValueError("block_q autotune applies to scan_impl='blocked'")
+    if not candidates:
+        raise ValueError("need at least one block_q candidate")
+    queries = np.asarray(queries, np.float32)
+    prev = engine.block_q
+    times: dict = {int(qb): [] for qb in candidates}
+    try:
+        for qb in candidates:  # warm: compile + touch caches per shape
+            engine.block_q = int(qb)
+            engine.search(queries, threshold, k)
+        for _ in range(max(1, int(reps))):
+            for qb in candidates:  # interleave so rig drift hits all rungs
+                engine.block_q = int(qb)
+                t0 = time.perf_counter()
+                engine.search(queries, threshold, k)
+                times[int(qb)].append(time.perf_counter() - t0)
+    finally:
+        engine.block_q = prev
+    medians = {qb: float(np.median(v)) for qb, v in times.items()}
+    best = min(medians, key=lambda qb: medians[qb])
+    return BlockQTuning(
+        block_q=int(best), medians=medians,
+        candidates=tuple(int(c) for c in candidates),
+        reps=max(1, int(reps)),
     )

@@ -63,6 +63,9 @@ def run_search(
     scan_dtype: str = "float32",  # 'float32' | 'bfloat16' | 'int8' screen
     capacity: bool = False,  # bf16/int8: one table for both rounds (0.5x/0.25x HBM)
     block_margin: int | None = None,  # None: manifest calibration, else default
+    block_q: int | str | None = None,  # None: engine default; int: fixed;
+    # 'auto': measured in-run pick at the sweep's median threshold — the
+    # block-size optimum moves with probe fan-out (engine/calibrate.py)
 ) -> list[dict]:
     art = load_index_artifacts(artifacts_dir, prefix)
     manifest = art["manifest"]
@@ -104,6 +107,24 @@ def run_search(
     rows = []
     n_q = len(bundle.query)
     engine.search(bundle.query[: min(64, n_q)], float(thresholds[0]), k)  # warmup
+    if block_q is not None:
+        if str(block_q) == "auto":
+            if n_shards == 1 and engine.scan_impl == "blocked":
+                from ..engine.calibrate import autotune_block_q
+
+                thr_mid = float(thresholds[len(thresholds) // 2])
+                tune = autotune_block_q(engine, bundle.query, thr_mid, k)
+                engine.block_q = tune.block_q
+                print(f"[search] block_q autotuned at thr {thr_mid:.3f}: "
+                      + ", ".join(f"{q}: {s * 1e3:.0f}ms"
+                                  for q, s in sorted(tune.medians.items(),
+                                                     reverse=True))
+                      + f" -> {tune.block_q}")
+            else:
+                print("[search] --block_q auto needs the single-chip blocked "
+                      "engine; keeping the default")
+        else:
+            engine.block_q = int(block_q)
     for thr in thresholds:
         if stream_batch > 0:
             # sustained-throughput mode: batches pipelined so batch i+1's
@@ -155,12 +176,17 @@ def main(argv=None):
                    help="selection margin in groups (default: the manifest's "
                         "calibrated margin if the index was built with "
                         "--calibrate_margin, else the shipped default)")
+    p.add_argument("--block_q", default=None,
+                   help="blocked-scan queries per union block: an int, or "
+                        "'auto' to measure the fastest at the sweep's median "
+                        "threshold (the optimum moves with probe fan-out — "
+                        "engine/calibrate.autotune_block_q)")
     a = p.parse_args(argv)
     run_search(
         a.artifacts_dir, a.prefix, a.dataset, a.data_path, a.k,
         a.t_min, a.t_max, a.t_step, a.n_shards, stream_batch=a.stream_batch,
         scan_dtype=a.scan_dtype, capacity=a.capacity,
-        block_margin=a.block_margin,
+        block_margin=a.block_margin, block_q=a.block_q,
     )
 
 

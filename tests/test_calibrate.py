@@ -66,3 +66,39 @@ def test_calibrate_rejects_unblocked(rng):
     eng.scan_impl = "xla"
     with pytest.raises(ValueError, match="blocked"):
         calibrate_block_margin(eng, x_q, 0.4, 5)
+
+
+def test_autotune_block_q(rng):
+    from lira_tpu.engine.calibrate import autotune_block_q
+
+    eng, x_q = _engine(rng, "float32")
+    prev = eng.block_q
+
+    # results are block_q-invariant (the contract that makes the autotune
+    # a speed-only knob): each query's probed buckets — and therefore its
+    # scanned rows — do not depend on which block it lands in
+    base = eng.search(x_q, 0.4, 5)
+    for qb in (64, 16, 8):
+        eng.block_q = qb
+        r = eng.search(x_q, 0.4, 5)
+        assert np.array_equal(r.ndis, base.ndis)
+        for i in range(len(x_q)):
+            assert set(r.ids[i][r.ids[i] >= 0]) == set(
+                base.ids[i][base.ids[i] >= 0]), (qb, i)
+    eng.block_q = prev
+
+    tune = autotune_block_q(eng, x_q, 0.4, 5, candidates=(64, 16), reps=1)
+    assert tune.block_q in (64, 16)
+    assert eng.block_q == prev  # autotune leaves the engine unchanged
+    assert set(tune.medians) == {64, 16}
+    assert all(v > 0 for v in tune.medians.values())
+    assert tune.medians[tune.block_q] == min(tune.medians.values())
+
+
+def test_autotune_rejects_unblocked(rng):
+    from lira_tpu.engine.calibrate import autotune_block_q
+
+    eng, x_q = _engine(rng, "float32")
+    eng.scan_impl = "xla"
+    with pytest.raises(ValueError, match="blocked"):
+        autotune_block_q(eng, x_q, 0.4, 5)

@@ -68,6 +68,19 @@ def test_build_index_and_search_cli(tmp_path):
         assert a["avg_cmp"] == b["avg_cmp"]
         assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
 
+    # --block_q: 'auto' runs the measured in-run pick on the blocked
+    # engine (int8 pins blocked off-TPU) and a fixed int is honored; both
+    # must leave the sweep numbers identical (block_q is speed-only)
+    for bq in ("auto", 16):
+        rows_q = run_search(
+            out_dir, cfg.file_name, "synthetic", data_path=str(tmp_path),
+            k=5, t_min=0.1, t_max=0.5, t_step=0.2, bundle=bundle,
+            scan_dtype="int8", block_q=bq,
+        )
+        for a, b in zip(rows, rows_q):
+            assert a["avg_cmp"] == b["avg_cmp"]
+            assert abs(a["avg_recall"] - b["avg_recall"]) < 1e-9
+
     # capacity mode through the CLI surface (one-table + host re-rank):
     # bf16 (0.5x corpus HBM) and int8 (0.25x)
     for cap_dtype in ("bfloat16", "int8"):
