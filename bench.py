@@ -392,14 +392,21 @@ def serving_bench():
     qps_stream = None
     try:
         thr_h = float(np.quantile(outputs, 1.0 - 8 / n_bkt))
-        big = np.tile(x_q, (2, 1))
-        eng.search_stream(big, thr_h, k, batch_size=batch)  # warmup both batches
+        # 8 pipelined batches: with 2 the fixed pipeline drain (last
+        # batch's scan with nothing left to overlap) is half the wall
+        # time and the "sustained" number is drain-dominated; at 8 the
+        # steady-state rate dominates (each batch still pays a fresh
+        # cold H2D upload — that is what the stream is hiding)
+        n_rep = 8 if os.environ.get("LIRA_BENCH_SMALL") != "1" else 2
+        big = np.tile(x_q, (n_rep, 1))
+        eng.search_stream(x_q, thr_h, k, batch_size=batch)  # warm the shape
         t0 = time.perf_counter()
         r_s = eng.search_stream(big, thr_h, k, batch_size=batch)
         el = time.perf_counter() - t0
         qps_stream = round(len(big) / el, 1)
-        log(f"stream[{best_dtype}] {len(big)} queries in 2 pipelined batches: "
-            f"{qps_stream:.0f} QPS sustained (ndis={r_s.ndis.mean():.0f})")
+        log(f"stream[{best_dtype}] {len(big)} queries in {n_rep} pipelined "
+            f"batches: {qps_stream:.0f} QPS sustained "
+            f"(ndis={r_s.ndis.mean():.0f})")
     except Exception as exc:  # never let the sidecar stream kill the headline
         log(f"stream measurement failed ({type(exc).__name__}: {exc})")
 
