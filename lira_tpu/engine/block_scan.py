@@ -1128,6 +1128,57 @@ def _probe_batch(
                 nprobe=nprobe, ndis=ndis, B=B, qb=qb)
 
 
+@partial(jax.jit, static_argnames=("wire",))
+def _wire_pack(scores, ids, wire: str):
+    """Fuse the (B, k) f32 scores + (B, k) i32 ids into ONE device array so
+    the result leaves the device in a single D2H transfer.
+
+    The sync path otherwise pays two serialized fetches (each with its own
+    host↔device round trip — ~30 ms on a tunneled rig, docs/serving_design.md
+    phase breakdown), and the measured result-fetch share of a warm 65k batch
+    is ~25% of e2e wall (logs/phase_trained_r5b.log).
+
+      'pack32' — bitcast f32 scores to i32 and concat with ids: (B, 2k) i32.
+        Bit-exact round trip; same bytes, one transfer instead of two.
+      'bf16'   — scores are rounded to bfloat16 on device and shipped as
+        u16 beside the ids' two u16 halves: (B, 3k) u16 — 25% fewer wire
+        bytes.  ids stay EXACT (recall is unaffected); only the reported
+        score loses f32→bf16 precision (~3 significant digits), after the
+        full-precision on-device ranking has already fixed the order.
+    """
+    if wire == "pack32":
+        return jnp.concatenate(
+            [ids, jax.lax.bitcast_convert_type(scores, jnp.int32)], axis=1
+        )
+    if wire != "bf16":
+        raise ValueError(f"unknown wire format {wire!r}")
+    s16 = jax.lax.bitcast_convert_type(scores.astype(jnp.bfloat16), jnp.uint16)
+    lo = (ids & 0xFFFF).astype(jnp.uint16)
+    hi = ((ids >> 16) & 0xFFFF).astype(jnp.uint16)
+    return jnp.concatenate([lo, hi, s16], axis=1)
+
+
+def _wire_unpack(w: np.ndarray, wire: str):
+    """Host inverse of `_wire_pack` → (scores f32, ids i32), both (B, k)."""
+    if wire == "pack32":
+        k = w.shape[1] // 2
+        ids = np.ascontiguousarray(w[:, :k])
+        scores = np.ascontiguousarray(w[:, k:]).view(np.float32)
+        return scores, ids
+    import ml_dtypes
+
+    k = w.shape[1] // 3
+    lo = w[:, :k].astype(np.uint32)
+    hi = w[:, k : 2 * k].astype(np.uint32)
+    ids = (lo | (hi << np.uint32(16))).view(np.int32)
+    scores = (
+        np.ascontiguousarray(w[:, 2 * k :])
+        .view(ml_dtypes.bfloat16)
+        .astype(np.float32)
+    )
+    return scores, ids
+
+
 def blocked_search(
     state: BlockScanState,
     engine,  # QueryEngine — probing params + tile geometry
@@ -1139,6 +1190,7 @@ def blocked_search(
     margin: int | None = None,
     interpret: bool | None = None,
     sel_rows: int = 128,
+    wire: str = "pack32",  # result D2H format: 'pack32' | 'f32' | 'bf16'
 ):
     """(scores (B,k), ids (B,k), nprobe, ndis) — two device round trips,
     deduplicated to k distinct neighbors on device.
@@ -1185,12 +1237,15 @@ def blocked_search(
         precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
         dim_scale=state.dim_scale,
     )
-    out = (
-        np.asarray(scores[:B]),
-        np.asarray(ids[:B]),
-        nprobe.astype(np.int64),
-        ndis.astype(np.int64),
-    )
+    if wire == "f32":
+        s_np, i_np = np.asarray(scores[:B]), np.asarray(ids[:B])
+    else:
+        # one packed transfer of the full padded batch (slicing on device
+        # would allocate a fresh buffer; the ≤qb pad rows are cheaper)
+        s_np, i_np = _wire_unpack(
+            np.asarray(_wire_pack(scores, ids, wire=wire))[:B], wire
+        )
+    out = (s_np, i_np, nprobe.astype(np.int64), ndis.astype(np.int64))
     mark("scan+result_sync")
     if timing:
         parts = ", ".join(
@@ -1213,6 +1268,7 @@ def blocked_search_stream(
     margin: int | None = None,
     interpret: bool | None = None,
     sel_rows: int = 128,
+    wire: str = "pack32",  # result D2H format: 'pack32' | 'f32' | 'bf16'
 ):
     """Pipelined multi-batch blocked search (same results as per-batch
     `blocked_search`, concatenated).
@@ -1267,7 +1323,7 @@ def blocked_search_stream(
             union, engine.tile_start, engine.tiles_per_bucket, state.tile_bucket
         )
         sub = _round2_sub(kg, sel_rows, d, h["qb"])
-        return _scan_all(
+        scores, ids = _scan_all(
             h["q"], h["probed"], h["perm"], jnp.asarray(supers), jnp.asarray(tb),
             jnp.asarray(ulen),
             state.corpus_flat, state.bsq, state.rescore_arg, state.tiles_ids,
@@ -1276,6 +1332,9 @@ def blocked_search_stream(
             precision=precision, interpret=interpret, sub=sub, sel_rows=sel_rows,
             dim_scale=state.dim_scale,
         )
+        if wire != "f32":
+            return (_wire_pack(scores, ids, wire=wire),)
+        return scores, ids
 
     out_scores, out_ids, out_np, out_nd = [], [], [], []
 
@@ -1291,9 +1350,13 @@ def blocked_search_stream(
 
     def collect(h, scan_out):
         B = h["B"]
-        scores, ids = scan_out
-        out_scores.append(np.asarray(scores)[:B])
-        out_ids.append(np.asarray(ids)[:B])
+        if wire != "f32":
+            s_np, i_np = _wire_unpack(np.asarray(scan_out[0])[:B], wire)
+        else:
+            scores, ids = scan_out
+            s_np, i_np = np.asarray(scores)[:B], np.asarray(ids)[:B]
+        out_scores.append(s_np)
+        out_ids.append(i_np)
         out_np.append(np.asarray(h["nprobe"])[:B].astype(np.int64))
         out_nd.append(np.asarray(h["ndis"])[:B].astype(np.int64))
 

@@ -194,6 +194,12 @@ class QueryEngine:
         block_order: str = "tour",  # blocked scan query-grouping key:
         # 'tour' sorts query blocks by a centroid-locality tour of their
         # top bucket (smaller block unions); 'id' = raw bucket id
+        wire: str = "pack32",  # blocked-scan result D2H format:
+        # 'pack32' (default) fuses ids + bitcast-f32 scores into ONE
+        # transfer — bit-exact, halves the per-batch result round trips;
+        # 'bf16' additionally ships scores as bfloat16 (25% fewer wire
+        # bytes; ids/recall exact, reported scores lose f32→bf16
+        # precision); 'f32' = two plain transfers (legacy)
         store_f32: bool = True,  # False (bf16 blocked only) = CAPACITY mode:
         # one bf16 table serves both rounds — 0.5× the corpus in HBM (vs
         # 1.5× bf16 / 1.0× f32), doubling rows-per-chip; final ordering is
@@ -238,6 +244,9 @@ class QueryEngine:
         # slots absorbs bf16 rank jitter (the per-query xla rule); int8
         # quantization error is coarser, so double it
         self.capacity_slack = 32 if self.scan_dtype == jnp.int8 else 16
+        if wire not in ("pack32", "f32", "bf16"):
+            raise ValueError(f"wire={wire!r}: expected 'pack32', 'f32' or 'bf16'")
+        self.wire = wire
         self.block_q = block_q
         self.block_margin = block_margin
         if block_sel_rows is None:
@@ -440,7 +449,7 @@ class QueryEngine:
                 self._block_state, self, queries, threshold,
                 max(fetch_k, kk), kk,
                 block_q=self.block_q, margin=self.block_margin,
-                sel_rows=self.block_sel_rows,
+                sel_rows=self.block_sel_rows, wire=self.wire,
             )
             if not self.store_f32:
                 # exact f32 ordering from the raw host corpus; -1 slots
@@ -482,6 +491,7 @@ class QueryEngine:
                 max(fetch_k, kk), kk,
                 batch_size=batch_size, block_q=self.block_q,
                 margin=self.block_margin, sel_rows=self.block_sel_rows,
+                wire=self.wire,
             )
             if not self.store_f32:
                 ids, scores = self._rerank_f32(queries, ids, scores)

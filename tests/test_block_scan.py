@@ -682,3 +682,42 @@ def test_screen_qb_cap_clamps_at_wide_dims():
     # wide-but-fitting dims return a sane intermediate pow2
     cap_960 = _screen_qb_cap(960, jnp.bfloat16)
     assert cap_960 in (128, 256, 512) and cap_960 >= 8
+
+
+def test_wire_formats(rng):
+    """Result D2H wire formats: 'pack32' (ids + bitcast-f32 scores fused
+    into ONE transfer — the default) must be BIT-exact vs the legacy
+    two-transfer 'f32' wire on both the sync and stream paths; 'bf16'
+    (scores shipped as bfloat16 beside exact split-u16 ids, 25% fewer
+    wire bytes) keeps ids exact and degrades only the reported score by
+    bfloat16 rounding."""
+    from lira_tpu.engine.serve import QueryEngine
+
+    x_q, e_ref, e_pack = _build(rng, "L2")
+    assert e_pack.wire == "pack32"
+
+    def clone(wire):
+        return QueryEngine(
+            e_pack._x_d, e_pack.layout, np.asarray(e_pack.centroids),
+            _scaler_of(e_pack), e_pack.params, scan_impl="blocked", wire=wire,
+        )
+
+    e_f32, e_bf16 = clone("f32"), clone("bf16")
+    x_many = rng.normal(size=(100, x_q.shape[1])).astype(np.float32)
+    for thr in (0.0, 0.5):
+        r32 = e_f32.search(x_many, thr, k=5)
+        rp = e_pack.search(x_many, thr, k=5)
+        np.testing.assert_array_equal(r32.ids, rp.ids)
+        np.testing.assert_array_equal(r32.scores, rp.scores)  # bitwise
+        rb = e_bf16.search(x_many, thr, k=5)
+        np.testing.assert_array_equal(r32.ids, rb.ids)
+        np.testing.assert_allclose(r32.scores, rb.scores, rtol=1e-2)
+
+    # stream path (pipelined batches, packed single-array fetch)
+    r32 = e_f32.search(x_many, 0.5, k=5)
+    r_str = e_pack.search_stream(x_many, 0.5, k=5, batch_size=32)
+    np.testing.assert_array_equal(r_str.ids, r32.ids)
+    np.testing.assert_array_equal(r_str.scores, r32.scores)
+    rb_str = e_bf16.search_stream(x_many, 0.5, k=5, batch_size=32)
+    np.testing.assert_array_equal(rb_str.ids, r32.ids)
+    np.testing.assert_allclose(rb_str.scores, r32.scores, rtol=1e-2)
